@@ -1,0 +1,177 @@
+"""Collection: one resolution attempt over a record space.
+
+API parity with the reference's ``Collection``
+(src/python/starlings/__init__.py:120-236,
+src/rust/starlings-py/src/lib.rs:127-189): build from weighted edges,
+materialise the partition at any threshold, list entities. The
+in-memory LRU partition cache (builder.rs:41,264-273) becomes
+``.persist()`` on materialised membership DataFrames keyed by
+fixed-point threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from entityframe_spark.core.quantize import (
+    PRECISION_FACTOR,
+    quantize_weights,
+    threshold_to_fp,
+)
+from entityframe_spark.core.records import DEFAULT_SOURCE, intern_records, resolve_edge_keys
+from entityframe_spark.operators import hierarchy
+
+_CACHE_SIZE = 10  # reference builder.rs:41
+
+
+class Collection:
+    """A partition hierarchy over a shared record space.
+
+    ``records``: DataFrame(record_id long, source string, key string)
+    ``merge_edges``: DataFrame(threshold_fp long, child long, parent long)
+    """
+
+    def __init__(self, records: DataFrame, merge_edges: DataFrame):
+        # localCheckpoint (lazy) rather than persist: the dendrogram is
+        # re-joined into many later plans; keeping its full build lineage
+        # in every consumer makes Catalyst analysis cost explode on the
+        # self-joins (measured: minutes of pure planning at toy scale).
+        self.records = records.localCheckpoint(eager=False)
+        self.merge_edges = merge_edges.localCheckpoint(eager=False)
+        self._cache: dict[int, DataFrame] = {}
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        spark_or_edges: SparkSession | DataFrame,
+        edges: Iterable[tuple] | DataFrame | None = None,
+        *,
+        quantise: int = 6,
+        source: str = DEFAULT_SOURCE,
+        records: DataFrame | None = None,
+    ) -> "Collection":
+        """Build from weighted similarity edges.
+
+        Accepts either ``from_edges(edges_df)`` or
+        ``from_edges(spark, [("a","b",0.8), ...])`` mirroring the
+        reference's list-of-tuples ingest (lib.rs:127-154). Keys are
+        canonicalised to strings; weights quantised to ``quantise``
+        decimals then compared in fixed point.
+        """
+        if isinstance(spark_or_edges, DataFrame):
+            edges_df = spark_or_edges
+        else:
+            spark = spark_or_edges
+            if isinstance(edges, DataFrame):
+                edges_df = edges
+            else:
+                rows = [(str(a), str(b), float(w)) for a, b, w in (edges or [])]
+                edges_df = spark.createDataFrame(
+                    rows, "src string, dst string, weight double"
+                )
+        spark = edges_df.sparkSession
+
+        if records is None:
+            endpoints = edges_df.select(F.col("src").cast("string").alias("key")).unionAll(
+                edges_df.select(F.col("dst").cast("string").alias("key"))
+            )
+            records = intern_records(
+                endpoints.withColumn("source", F.lit(source)), "source", "key"
+            )
+        records = records.localCheckpoint(eager=False)
+
+        ids = resolve_edge_keys(edges_df, records, source=source)
+        edges_fp = ids.select(
+            "src", "dst", quantize_weights(F.col("weight"), quantise)
+        )
+        merge_edges = hierarchy.build_merge_edges(edges_fp)
+        return cls(records, merge_edges)
+
+    @classmethod
+    def from_memberships(
+        cls, memberships: DataFrame, records: DataFrame | None = None
+    ) -> "Collection":
+        """S7: load a fixed, pre-resolved clustering (cluster_id,
+        record_id) as a collection pinned at threshold 1.0
+        (reference from_entities, docs/design/interface.md:352-386).
+        Avoids the O(n^2) all-pairs expansion: each cluster becomes
+        star merge edges child -> min(cluster).
+        """
+        m = memberships.select("record_id", "cluster_id")
+        reps = m.groupBy("cluster_id").agg(F.min("record_id").alias("parent"))
+        me = (
+            m.join(reps, "cluster_id")
+            .where(F.col("record_id") != F.col("parent"))
+            .select(
+                F.lit(PRECISION_FACTOR).alias("threshold_fp"),
+                F.col("record_id").alias("child"),
+                F.col("parent"),
+            )
+        )
+        if records is None:
+            records = m.select(
+                F.col("record_id"),
+                F.lit(DEFAULT_SOURCE).alias("source"),
+                F.col("record_id").cast("string").alias("key"),
+            ).dropDuplicates(["record_id"])
+        return cls(records, me)
+
+    # -- queries -----------------------------------------------------------
+
+    def at(self, threshold: float) -> DataFrame:
+        """Partition at ``threshold`` (inclusive >= semantics,
+        builder.rs:291). Returns DataFrame(record_id, cluster_id);
+        cluster_id = min record_id in the cluster. Persisted LRU-style
+        like the reference's partition cache.
+        """
+        if not (0.0 <= threshold <= 1.0):
+            raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+        t_fp = threshold_to_fp(threshold)
+        if t_fp in self._cache:
+            return self._cache[t_fp]
+        part = hierarchy.partition_at(self.merge_edges, self.records, t_fp).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if len(self._cache) >= _CACHE_SIZE:
+            _, evicted = self._cache.popitem()
+            evicted.unpersist()
+        self._cache[t_fp] = part
+        return part
+
+    def entities(self, threshold: float) -> DataFrame:
+        """Entities as sorted member-key arrays (reference
+        partition.entities materialisation, lib.rs:42-48)."""
+        part = self.at(threshold)
+        return (
+            part.join(self.records, "record_id")
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(F.collect_list("key")).alias("members"),
+                F.count(F.lit(1)).alias("entity_size"),
+            )
+        )
+
+    def entity_count(self, threshold: float) -> int:
+        return self.at(threshold).select("cluster_id").distinct().count()
+
+    def memberships_for_grid(self, thresholds: list[float]) -> DataFrame:
+        """(threshold_fp, record_id, cluster_id) for every grid point in
+        one pass (A17 sweep support)."""
+        fps = [threshold_to_fp(t) for t in thresholds]
+        return hierarchy.memberships_for_grid(self.merge_edges, self.records, fps)
+
+    def merge_thresholds(self) -> list[float]:
+        """Distinct thresholds at which merges occur, descending."""
+        rows = (
+            self.merge_edges.select("threshold_fp")
+            .distinct()
+            .orderBy(F.col("threshold_fp").desc())
+            .collect()
+        )
+        return [r["threshold_fp"] / PRECISION_FACTOR for r in rows]

