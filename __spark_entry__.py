@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on
+sf0.001; ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (plus the training-data ops); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+Column names/aliases match exactly between both sides; float outputs
+are rounded to 6dp on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,751 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic-edge definition (supplier -> nation bipartite graph)
+# used by every clustering query; identical arithmetic in Spark and SQL
+# ---------------------------------------------------------------------------
+
+NATION_OFFSET = 1_000_000
+
+EDGES_SQL = f"""
+  SELECT s_suppkey AS src,
+         {NATION_OFFSET} + s_nationkey AS dst,
+         CAST((s_suppkey * 37) % 101 AS BIGINT) * 10000 AS w_fp
+  FROM supplier
+"""
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _load(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.lit(NATION_OFFSET) + F.col("s_nationkey")).cast("long").alias("dst"),
+        (((F.col("s_suppkey") * 37) % 101).cast("long") * 10000).alias("w_fp"),
+    )
+
+
+def _edge_records(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("record_id"))
+        .unionAll(edges.select(F.col("dst").alias("record_id")))
+        .distinct()
+    )
+
+
+def _cc_oracle_sql(threshold_fp: int, select: str) -> str:
+    """Recursive-CTE connected components over the supplier edges at a
+    threshold: comp(node) = min reachable node over active edges;
+    inactive endpoints stay singletons."""
+    return f"""
+WITH RECURSIVE
+edges AS ({EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+act AS (SELECT src, dst FROM edges WHERE w_fp >= {threshold_fp}),
+und AS (SELECT src AS u, dst AS v FROM act UNION SELECT dst, src FROM act),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+),
+comp AS (SELECT node AS record_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+{select}
+"""
+
+
+def _clusters_at(spark: SparkSession, sf_dir: str, threshold_fp: int) -> DataFrame:
+    from entityframe_spark.operators.components import connected_components
+
+    edges = _supplier_edges(spark, sf_dir)
+    active = edges.where(F.col("w_fp") >= F.lit(threshold_fp))
+    comps = connected_components(active, "src", "dst")
+    return (
+        _edge_records(edges)
+        .join(comps.withColumnRenamed("node", "record_id"), "record_id", "left")
+        .select(
+            "record_id", F.coalesce("component", "record_id").alias("cluster_id")
+        )
+    )
+
+
+# customer-based twin partitions for the metric queries
+def _customer_partitions(spark: SparkSession, sf_dir: str):
+    c = _load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("record_id"),
+        F.col("c_mktsegment").alias("cluster_id"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("record_id"),
+        (F.col("c_nationkey") % 5).cast("long").alias("cluster_id"),
+    )
+    return a, b
+
+
+_METRICS_PAIR_SQL = """
+WITH
+a AS (SELECT c_custkey AS record_id, c_mktsegment AS cluster_a FROM customer),
+b AS (SELECT c_custkey AS record_id, CAST(c_nationkey % 5 AS BIGINT) AS cluster_b FROM customer),
+cells AS (
+  SELECT cluster_a, cluster_b, COUNT(*) AS n
+  FROM a JOIN b USING (record_id) GROUP BY 1, 2
+),
+ma AS (SELECT cluster_a, SUM(n) AS a_i FROM cells GROUP BY 1),
+mb AS (SELECT cluster_b, SUM(n) AS b_j FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_tot FROM cells),
+en AS (
+  SELECT c.cluster_a, c.cluster_b, c.n, ma.a_i, mb.b_j, tot.n_tot
+  FROM cells c JOIN ma USING (cluster_a) JOIN mb USING (cluster_b) CROSS JOIN tot
+),
+sums AS (
+  SELECT
+    MAX(n_tot) AS n_tot,
+    SUM(n * (n - 1) / 2.0) AS tp,
+    SUM((n::DOUBLE / n_tot) * ln(n::DOUBLE * n_tot / (a_i * b_j))) AS mi,
+    SUM(-(n::DOUBLE / n_tot) * ln(n::DOUBLE / a_i)) AS h_b_given_a,
+    SUM(-(n::DOUBLE / n_tot) * ln(n::DOUBLE / b_j)) AS h_a_given_b,
+    SUM(n::DOUBLE * n / a_i) AS bc_p,
+    SUM(n::DOUBLE * n / b_j) AS bc_r
+  FROM en
+),
+marga AS (
+  SELECT SUM(a_i * (a_i - 1) / 2.0) AS pp,
+         SUM(-(a_i::DOUBLE / n_tot) * ln(a_i::DOUBLE / n_tot)) AS h_a
+  FROM (SELECT DISTINCT cluster_a, a_i, n_tot FROM en)
+),
+margb AS (
+  SELECT SUM(b_j * (b_j - 1) / 2.0) AS ap,
+         SUM(-(b_j::DOUBLE / n_tot) * ln(b_j::DOUBLE / n_tot)) AS h_b
+  FROM (SELECT DISTINCT cluster_b, b_j, n_tot FROM en)
+)
+SELECT
+  CAST(round(tp / pp, 6) AS DOUBLE) AS precision,
+  CAST(round(tp / ap, 6) AS DOUBLE) AS recall,
+  CAST(round(2 * (tp / pp) * (tp / ap) / (tp / pp + tp / ap), 6) AS DOUBLE) AS f1,
+  CAST(round((tp - pp * ap / (n_tot * (n_tot - 1) / 2.0))
+       / ((pp + ap) / 2.0 - pp * ap / (n_tot * (n_tot - 1) / 2.0)), 6) AS DOUBLE) AS ari,
+  CAST(round(2 * mi / (h_a + h_b), 6) AS DOUBLE) AS nmi,
+  CAST(round(2 * (1 - h_b_given_a / h_b) * (1 - h_a_given_b / h_a)
+       / ((1 - h_b_given_a / h_b) + (1 - h_a_given_b / h_a)), 6) AS DOUBLE) AS v_measure,
+  CAST(round(bc_p / n_tot, 6) AS DOUBLE) AS bcubed_precision,
+  CAST(round(bc_r / n_tot, 6) AS DOUBLE) AS bcubed_recall
+FROM sums CROSS JOIN marga CROSS JOIN margb
+"""
+
+
+def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_records_intern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: dedup (source,key) -> dense stable record ids."""
+    from entityframe_spark.core.records import intern_records
+
+    d = _load(spark, sf_dir, "documents")
+    return intern_records(
+        d.select(F.col("source"), F.col("doc_id").alias("key")), "source", "key"
+    )
+
+
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: fixed-point quantisation histogram."""
+    from entityframe_spark.core.quantize import quantize_weights
+
+    s = _load(spark, sf_dir, "supplier")
+    w = (((F.col("s_suppkey") * 37) % 101) / 100.0).alias("weight")
+    return (
+        s.select(quantize_weights(w, 6))
+        .groupBy("w_fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_clusters_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2: connected components at threshold 0.5 incl. isolates."""
+    return _clusters_at(spark, sf_dir, 500_000)
+
+
+def q_entity_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: entity sizes at threshold 0.3."""
+    return (
+        _clusters_at(spark, sf_dir, 300_000)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("entity_size"))
+    )
+
+
+SWEEP_FPS = [200_000, 500_000, 800_000]
+
+
+def q_entity_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A17/C3: entity_count across a threshold grid from ONE
+    dendrogram build (memberships_for_grid)."""
+    from entityframe_spark.operators.hierarchy import (
+        build_merge_edges,
+        memberships_for_grid,
+    )
+
+    edges = _supplier_edges(spark, sf_dir)
+    me = build_merge_edges(edges).localCheckpoint(eager=False)
+    recs = _edge_records(edges)
+    mem = memberships_for_grid(me, recs, SWEEP_FPS)
+    return mem.groupBy("threshold_fp").agg(
+        F.countDistinct("cluster_id").alias("entity_count")
+    )
+
+
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: contingency cells between two customer partitions."""
+    from entityframe_spark.operators.metrics import contingency
+
+    a, b = _customer_partitions(spark, sf_dir)
+    return contingency(a, b)
+
+
+def q_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-A10: the full eval metric row for two partitions."""
+    from entityframe_spark.operators.metrics import compare_partitions
+
+    a, b = _customer_partitions(spark, sf_dir)
+    out = compare_partitions(a, b)
+    return _round6(out, out.columns)
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: resolution entropy of the mktsegment partition."""
+    from entityframe_spark.operators.metrics import partition_entropy
+
+    a, _ = _customer_partitions(spark, sf_dir)
+    return _round6(partition_entropy(a), ["entropy"])
+
+
+def q_entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/J7: per-entity best-match Jaccard between two partitions."""
+    from entityframe_spark.operators.metrics import entity_jaccard
+
+    a, b = _customer_partitions(spark, sf_dir)
+    return _round6(entity_jaccard(a, b), ["jaccard"])
+
+
+def q_window_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window collapse: ordered event_type concat per user."""
+    e = _load(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws("\n", ordered.getField("event_type")).alias("event_seq"),
+    )
+
+
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: normalised Levenshtein over adjacent customer names."""
+    from entityframe_spark.functions.similarity import levenshtein_sim
+
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    l = c.withColumnsRenamed({"c_custkey": "k", "c_name": "left_name"})
+    r = c.select(
+        (F.col("c_custkey") - 1).alias("k"), F.col("c_name").alias("right_name")
+    )
+    return l.join(r, "k").select(
+        F.col("k").alias("left_key"),
+        F.round(levenshtein_sim(F.col("left_name"), F.col("right_name")), 6).alias(
+            "lev_sim"
+        ),
+    )
+
+
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: token Jaccard over nearby document pairs."""
+    from entityframe_spark.functions.similarity import token_jaccard
+
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    l = d.select(F.col("doc_id").alias("left_id"), F.col("text").alias("lt"))
+    r = d.select(F.col("doc_id").alias("right_id"), F.col("text").alias("rt"))
+    pairs = l.join(
+        r, (F.col("right_id") > F.col("left_id")) & (F.col("right_id") <= F.col("left_id") + 2)
+    )
+    return pairs.select(
+        "left_id",
+        "right_id",
+        F.round(token_jaccard(F.col("lt"), F.col("rt")), 6).alias("token_jaccard"),
+    )
+
+
+def q_entity_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: sha256/md5 over sorted-member canonical form."""
+    clusters = _clusters_at(spark, sf_dir, 500_000)
+    ents = clusters.groupBy("cluster_id").agg(
+        F.array_sort(F.collect_list(F.col("record_id").cast("string"))).alias("m")
+    )
+    canon = F.concat_ws(",", F.col("m"))
+    return ents.select(
+        "cluster_id", F.sha2(canon, 256).alias("sha256"), F.md5(canon).alias("md5")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on documents."""
+    from entityframe_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_load(spark, sf_dir, "documents")).select(
+        "text_hash", "dup_count", "keep_id"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (brute force on a small slice —
+    the LSH-fed variant is q via dedup tests)."""
+    from entityframe_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, n=3, min_jaccard=0.5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a slice."""
+    from entityframe_spark.pipeline.dedup import embedding_near_duplicates
+
+    e = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    return embedding_near_duplicates(e, min_cosine=0.9)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from entityframe_spark.pipeline.ann import brute_force_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return brute_force_topk(e, [float(x) for x in qv], k=10, exclude_ids=(0,))
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, ratios, quality, lang id,
+    fingerprint."""
+    from entityframe_spark.pipeline.textstats import text_profile
+
+    return text_profile(_load(spark, sf_dir, "documents"))
+
+
+def q_transcript_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule collapse on events-as-transcripts: conversation =
+    user, turn order = (ts, event_id), text = props."""
+    e = _load(spark, sf_dir, "events")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "text")))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws("\n", ordered.getField("text")).alias("full_text"),
+        F.concat_ws("|", F.array_sort(F.collect_set("role"))).alias("role_sig"),
+    )
+
+
+def q_sweep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: eval metrics for a 3-point threshold sweep of the supplier
+    clustering against the nation partition as truth — one grouped
+    contingency for the whole grid."""
+    from entityframe_spark.operators.hierarchy import (
+        build_merge_edges,
+        memberships_for_grid,
+    )
+    from entityframe_spark.operators.metrics import metrics_from_cells
+
+    edges = _supplier_edges(spark, sf_dir)
+    me = build_merge_edges(edges).localCheckpoint(eager=False)
+    recs = _edge_records(edges)
+    mem = memberships_for_grid(me, recs, SWEEP_FPS)
+    s = _load(spark, sf_dir, "supplier")
+    truth = s.select(
+        F.col("s_suppkey").cast("long").alias("record_id"),
+        F.col("s_nationkey").cast("long").alias("cluster_b"),
+    ).unionByName(
+        s.select(
+            (F.lit(NATION_OFFSET) + F.col("s_nationkey")).cast("long").alias("record_id"),
+            F.col("s_nationkey").cast("long").alias("cluster_b"),
+        ).distinct()
+    )
+    cells = (
+        mem.select(
+            F.col("threshold_fp"), "record_id", F.col("cluster_id").alias("cluster_a")
+        )
+        .join(truth, "record_id")
+        .groupBy("threshold_fp", "cluster_a", "cluster_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = metrics_from_cells(cells, keys=["threshold_fp"])
+    return _round6(
+        out.select("threshold_fp", "precision", "recall", "f1", "ari", "nmi"),
+        ["precision", "recall", "f1", "ari", "nmi"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "records_intern": q_records_intern,
+        "quantize_weights": q_quantize,
+        "clusters_at_threshold": q_clusters_at,
+        "entity_sizes": q_entity_sizes,
+        "entity_count_sweep": q_entity_count_sweep,
+        "contingency": q_contingency,
+        "pairwise_metrics": q_pairwise_metrics,
+        "entropy": q_entropy,
+        "entity_jaccard": q_entity_jaccard,
+        "window_collapse": q_window_collapse,
+        "levenshtein_sim": q_levenshtein,
+        "token_jaccard": q_token_jaccard,
+        "entity_hash": q_entity_hash,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_neardup": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk_cosine": q_ann_topk,
+        "text_profile": q_text_profile,
+        "transcript_collapse": q_transcript_collapse,
+        "sweep_metrics": q_sweep_metrics,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _cc_sweep_oracle(select_per_t: str) -> str:
+    parts = [
+        _cc_oracle_sql(t, select_per_t.format(t=t)) for t in SWEEP_FPS
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+
+    sqls["records_intern"] = """
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, key) - 1 AS BIGINT) AS record_id,
+             source, key
+      FROM (SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS key FROM documents)
     """
-    return {}
+
+    sqls["quantize_weights"] = """
+      SELECT CAST(round(((s_suppkey * 37) % 101) / 100.0 * 1000000) AS BIGINT) AS w_fp,
+             COUNT(*) AS cnt
+      FROM supplier GROUP BY 1
+    """
+
+    sqls["clusters_at_threshold"] = _cc_oracle_sql(
+        500_000, "SELECT record_id, cluster_id FROM comp"
+    )
+
+    sqls["entity_sizes"] = _cc_oracle_sql(
+        300_000,
+        "SELECT cluster_id, COUNT(*) AS entity_size FROM comp GROUP BY 1",
+    )
+
+    sqls["entity_count_sweep"] = _cc_sweep_oracle(
+        "SELECT CAST({t} AS BIGINT) AS threshold_fp, "
+        "COUNT(DISTINCT cluster_id) AS entity_count FROM comp"
+    )
+
+    sqls["contingency"] = """
+      WITH a AS (SELECT c_custkey AS record_id, c_mktsegment AS cluster_a FROM customer),
+           b AS (SELECT c_custkey AS record_id, CAST(c_nationkey % 5 AS BIGINT) AS cluster_b FROM customer)
+      SELECT cluster_a, cluster_b, COUNT(*) AS n
+      FROM a JOIN b USING (record_id) GROUP BY 1, 2
+    """
+
+    sqls["pairwise_metrics"] = _METRICS_PAIR_SQL
+
+    sqls["entropy"] = """
+      WITH s AS (SELECT c_mktsegment, COUNT(*) AS sz FROM customer GROUP BY 1),
+           t AS (SELECT SUM(sz) AS n FROM s)
+      SELECT CAST(round(SUM(-(sz::DOUBLE / n) * ln(sz::DOUBLE / n)), 6) AS DOUBLE) AS entropy
+      FROM s CROSS JOIN t
+    """
+
+    sqls["entity_jaccard"] = """
+      WITH a AS (SELECT c_custkey AS record_id, c_mktsegment AS cluster_a FROM customer),
+           b AS (SELECT c_custkey AS record_id, CAST(c_nationkey % 5 AS BIGINT) AS cluster_b FROM customer),
+           cells AS (SELECT cluster_a, cluster_b, COUNT(*) AS n FROM a JOIN b USING (record_id) GROUP BY 1,2),
+           ma AS (SELECT cluster_a, SUM(n) AS a_i FROM cells GROUP BY 1),
+           mb AS (SELECT cluster_b, SUM(n) AS b_j FROM cells GROUP BY 1),
+           j AS (SELECT c.cluster_a, c.cluster_b,
+                        c.n::DOUBLE / (ma.a_i + mb.b_j - c.n) AS jac
+                 FROM cells c JOIN ma USING (cluster_a) JOIN mb USING (cluster_b)),
+           best AS (SELECT cluster_a, MAX(jac) AS jac FROM j GROUP BY 1)
+      SELECT j.cluster_a, MIN(j.cluster_b) AS best_cluster_b,
+             CAST(round(j.jac, 6) AS DOUBLE) AS jaccard
+      FROM j JOIN best ON j.cluster_a = best.cluster_a AND j.jac = best.jac
+      GROUP BY j.cluster_a, j.jac
+    """
+
+    sqls["window_collapse"] = """
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(event_type, chr(10) ORDER BY ts, event_id) AS event_seq
+      FROM events GROUP BY user_id
+    """
+
+    sqls["levenshtein_sim"] = """
+      SELECT l.c_custkey AS left_key,
+             CAST(round(CASE WHEN greatest(length(l.c_name), length(r.c_name)) = 0 THEN 1.0
+                  ELSE 1.0 - levenshtein(l.c_name, r.c_name)::DOUBLE
+                       / greatest(length(l.c_name), length(r.c_name)) END, 6) AS DOUBLE) AS lev_sim
+      FROM customer l JOIN customer r ON r.c_custkey = l.c_custkey + 1
+    """
+
+    sqls["token_jaccard"] = r"""
+      WITH d AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                 FROM documents WHERE doc_id < 60)
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             CAST(round(
+               CASE WHEN len(list_distinct(l.toks || r.toks)) = 0 THEN 1.0
+                    ELSE len(list_intersect(l.toks, r.toks))::DOUBLE
+                         / len(list_distinct(l.toks || r.toks)) END, 6) AS DOUBLE) AS token_jaccard
+      FROM d l JOIN d r ON r.doc_id > l.doc_id AND r.doc_id <= l.doc_id + 2
+    """
+
+    sqls["entity_hash"] = _cc_oracle_sql(
+        500_000,
+        """
+        SELECT cluster_id,
+               sha256(string_agg(CAST(record_id AS VARCHAR), ',' ORDER BY CAST(record_id AS VARCHAR))) AS sha256,
+               md5(string_agg(CAST(record_id AS VARCHAR), ',' ORDER BY CAST(record_id AS VARCHAR))) AS md5
+        FROM comp GROUP BY cluster_id
+        """,
+    )
+
+    sqls["dedup_exact"] = """
+      SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+    sqls["ngram_jaccard_neardup"] = r"""
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 150)
+      )
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             CAST(round(len(list_intersect(l.grams, r.grams))::DOUBLE
+                  / len(list_distinct(l.grams || r.grams)), 6) AS DOUBLE) AS jaccard
+      FROM d l JOIN d r ON r.doc_id > l.doc_id
+      WHERE len(list_intersect(l.grams, r.grams))::DOUBLE
+            / len(list_distinct(l.grams || r.grams)) >= 0.5
+    """
+
+    sqls["embedding_neardup"] = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 150)
+      SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+             CAST(round(list_cosine_similarity(l.v, r.v), 6) AS DOUBLE) AS cosine
+      FROM e l JOIN e r ON r.vec_id > l.vec_id
+      WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.9
+    """
+
+    sqls["ann_topk_cosine"] = """
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+             CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS DOUBLE) AS cosine
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id
+      LIMIT 10
+    """
+
+    sqls["text_profile"] = _TEXT_PROFILE_SQL
+
+    sqls["transcript_collapse"] = """
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, COUNT(*) AS n_turns,
+             string_agg(props, chr(10) ORDER BY ts, event_id) AS full_text,
+             array_to_string(list_sort(list_distinct(list(event_type))), '|') AS role_sig
+      FROM events GROUP BY user_id
+    """
+
+    sqls["sweep_metrics"] = _SWEEP_METRICS_ORACLE
+
+    return sqls
+
+
+_TEXT_PROFILE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split_regex(lower(trim(text)), '\s+') AS ltoks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text, toks, ltoks,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(ltoks) > 0
+              THEN len(list_filter(ltoks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for',
+                    'on','with','as','at','by','an','be','this','are','or'], x)))::DOUBLE / len(ltoks)
+              ELSE 0.0 END AS sraw,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_wl,
+         len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+         len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y'], x))) AS h_es,
+         len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+         len(list_filter(ltoks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+         list_reduce(list_transform(ltoks, x -> length(x) * 131 + ascii(x)),
+                     (a, b) -> (a * 31 + b) % 1000003) % 1000003 AS fingerprint
+  FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       n_bpe_tokens,
+       CAST(round(praw, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(sraw, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END)
+             + (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.4 END)
+             + (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS DOUBLE) AS quality,
+       CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+            WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+            ELSE 'de' END AS pred_lang,
+       fingerprint
+FROM base
+"""
+
+
+def _sweep_metric_oracle_one(t: int) -> str:
+    return f"""
+WITH RECURSIVE
+edges AS ({EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+act AS (SELECT src, dst FROM edges WHERE w_fp >= {t}),
+und AS (SELECT src AS u, dst AS v FROM act UNION SELECT dst, src FROM act),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+),
+comp AS (SELECT node AS record_id, MIN(r) AS cluster_a FROM reach GROUP BY node),
+truth AS (
+  -- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB 1.0 treats
+  -- a plain CTE's UNION like UNION ALL (observed), so dedup manually
+  SELECT DISTINCT record_id, cluster_b FROM (
+    SELECT CAST(s_suppkey AS BIGINT) AS record_id, CAST(s_nationkey AS BIGINT) AS cluster_b FROM supplier
+    UNION ALL
+    SELECT CAST({NATION_OFFSET} + s_nationkey AS BIGINT), CAST(s_nationkey AS BIGINT) FROM supplier
+  )
+),
+cells AS (
+  SELECT cluster_a, cluster_b, COUNT(*) AS n
+  FROM comp JOIN truth USING (record_id) GROUP BY 1, 2
+),
+ma AS (SELECT cluster_a, SUM(n) AS a_i FROM cells GROUP BY 1),
+mb AS (SELECT cluster_b, SUM(n) AS b_j FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_tot FROM cells),
+en AS (
+  SELECT c.cluster_a, c.cluster_b, c.n, ma.a_i, mb.b_j, tot.n_tot
+  FROM cells c JOIN ma USING (cluster_a) JOIN mb USING (cluster_b) CROSS JOIN tot
+),
+sums AS (
+  SELECT MAX(n_tot) AS n_tot,
+         SUM(n * (n - 1) / 2.0) AS tp,
+         SUM((n::DOUBLE / n_tot) * ln(n::DOUBLE * n_tot / (a_i * b_j))) AS mi
+  FROM en
+),
+marga AS (
+  SELECT SUM(a_i * (a_i - 1) / 2.0) AS pp,
+         SUM(-(a_i::DOUBLE / n_tot) * ln(a_i::DOUBLE / n_tot)) AS h_a
+  FROM (SELECT DISTINCT cluster_a, a_i, n_tot FROM en)
+),
+margb AS (
+  SELECT SUM(b_j * (b_j - 1) / 2.0) AS ap,
+         SUM(-(b_j::DOUBLE / n_tot) * ln(b_j::DOUBLE / n_tot)) AS h_b
+  FROM (SELECT DISTINCT cluster_b, b_j, n_tot FROM en)
+)
+SELECT CAST({t} AS BIGINT) AS threshold_fp,
+  CAST(round(CASE WHEN pp > 0 THEN tp / pp ELSE 0 END, 6) AS DOUBLE) AS precision,
+  CAST(round(CASE WHEN ap > 0 THEN tp / ap ELSE 0 END, 6) AS DOUBLE) AS recall,
+  CAST(round(CASE WHEN pp > 0 AND ap > 0 AND tp > 0
+       THEN 2 * (tp / pp) * (tp / ap) / (tp / pp + tp / ap) ELSE 0 END, 6) AS DOUBLE) AS f1,
+  CAST(round((tp - pp * ap / (n_tot * (n_tot - 1) / 2.0))
+       / ((pp + ap) / 2.0 - pp * ap / (n_tot * (n_tot - 1) / 2.0)), 6) AS DOUBLE) AS ari,
+  CAST(round(CASE WHEN h_a + h_b > 0 THEN 2 * mi / (h_a + h_b) ELSE 1 END, 6) AS DOUBLE) AS nmi
+FROM sums CROSS JOIN marga CROSS JOIN margb
+"""
+
+
+_SWEEP_METRICS_ORACLE = " UNION ALL ".join(
+    f"SELECT * FROM ({_sweep_metric_oracle_one(t)})" for t in SWEEP_FPS
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the north-rule record-linkage pipeline on sf0.001
+    events-as-transcripts — collapse, block (signature + LSH), score,
+    cluster — returning the cluster summary."""
+    from entityframe_spark.pipeline.blocking import build_candidate_pairs
+    from entityframe_spark.pipeline.linkage import (
+        assign_record_ids,
+        cluster_edges,
+        full_partition,
+    )
+    from entityframe_spark.pipeline.scoring import (
+        attach_pair_texts,
+        prepare_record_features,
+        score_pairs,
+    )
+    from entityframe_spark.pipeline.transcripts import collapse_conversations
+
+    from pyspark.sql.window import Window
+
+    e = _load(spark, "/root/testdata/sf0.001", "events")
+    transcripts = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts"),
+    )
+    collapsed = prepare_record_features(
+        assign_record_ids(collapse_conversations(transcripts))
+    ).localCheckpoint(eager=False)
+    pairs = build_candidate_pairs(collapsed, max_block_size=64)
+    scored = score_pairs(attach_pair_texts(pairs, collapsed))
+    clusters = full_partition(collapsed, cluster_edges(scored, 0.5))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_conversations"))
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,156 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Queries are the engine's flagship paths:
+  q1 linkage_pipeline   — collapse -> block -> score -> cluster on
+                          events-as-transcripts (the north-rule job)
+  q2 hierarchy_build    — supplier edge graph -> dendrogram ->
+                          3-threshold memberships + entity counts
+  q3 sweep_metrics      — grid memberships vs truth, single-shuffle
+                          contingency + full metric row per threshold
+  q4 dedup_minhash      — MinHash/LSH candidates + verify + groups on
+                          documents
+  q5 ann_topk           — brute-force cosine top-10 over embeddings
+  q6 text_profile       — full text-analysis column set on documents
+
+Also emits candidate-pairs/sec for the scoring stage (the north
+rule's throughput metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as em
+    from entityframe_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: the flagship linkage pipeline on events-as-transcripts
+    def q1():
+        from pyspark.sql.window import Window
+
+        from entityframe_spark.pipeline.blocking import build_candidate_pairs
+        from entityframe_spark.pipeline.linkage import (
+            assign_record_ids,
+            cluster_edges,
+            full_partition,
+        )
+        from entityframe_spark.pipeline.scoring import (
+            attach_pair_texts,
+            prepare_record_features,
+            score_pairs,
+        )
+        from entityframe_spark.pipeline.transcripts import collapse_conversations
+
+        e = em._load(spark, sf_dir, "events")
+        transcripts = e.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.concat_ws(" ", "event_type", "props").alias("text"),
+            F.lit("").alias("tool"),
+            F.col("ts"),
+        )
+        collapsed = prepare_record_features(
+            assign_record_ids(collapse_conversations(transcripts))
+        ).localCheckpoint(eager=False)
+        pairs = build_candidate_pairs(collapsed, max_block_size=64).localCheckpoint(
+            eager=False
+        )
+        n_pairs = pairs.count()
+        t0 = time.time()
+        scored = score_pairs(attach_pair_texts(pairs, collapsed)).localCheckpoint(
+            eager=False
+        )
+        scored.count()
+        score_wall = time.time() - t0
+        extras["candidate_pairs"] = n_pairs
+        extras["pairs_per_sec"] = round(n_pairs / max(score_wall, 1e-9), 1)
+        clusters = full_partition(collapsed, cluster_edges(scored, 0.5))
+        return clusters.count()
+
+    # q2: dendrogram build + memberships grid
+    def q2():
+        from entityframe_spark.operators.hierarchy import (
+            build_merge_edges,
+            memberships_for_grid,
+        )
+
+        edges = em._supplier_edges(spark, sf_dir)
+        me = build_merge_edges(edges).localCheckpoint(eager=False)
+        recs = em._edge_records(edges)
+        mem = memberships_for_grid(me, recs, em.SWEEP_FPS)
+        return mem.groupBy("threshold_fp").agg(
+            F.countDistinct("cluster_id").alias("c")
+        ).count()
+
+    def q3():
+        return em.q_sweep_metrics(spark, sf_dir).count()
+
+    def q4():
+        from entityframe_spark.pipeline.dedup import (
+            dedup_groups,
+            minhash_lsh_candidates,
+            ngram_jaccard_pairs,
+        )
+
+        d = em._load(spark, sf_dir, "documents")
+        cands = minhash_lsh_candidates(d).localCheckpoint(eager=False)
+        verified = ngram_jaccard_pairs(d, min_jaccard=0.6, candidate_pairs=cands)
+        return dedup_groups(verified).count()
+
+    def q5():
+        return em.q_ann_topk(spark, sf_dir).count()
+
+    def q6():
+        return em.q_text_profile(spark, sf_dir).count()
+
+    timed("q1_linkage_pipeline", q1)
+    timed("q2_hierarchy_build", q2)
+    timed("q3_sweep_metrics", q3)
+    timed("q4_dedup_minhash", q4)
+    timed("q5_ann_topk", q5)
+    timed("q6_text_profile", q6)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                **{k: v for k, v in extras.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

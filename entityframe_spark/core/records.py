@@ -47,9 +47,9 @@ def intern_records(
     )
     if dense_ids:
         w = Window.orderBy("source", "key")
-        return base.withColumn("record_id", F.row_number().over(w) - F.lit(1)).select(
-            "record_id", "source", "key"
-        )
+        return base.withColumn(
+            "record_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+        ).select("record_id", "source", "key")
     return base.withColumn("record_id", F.xxhash64("source", "key")).select(
         "record_id", "source", "key"
     )

@@ -1,0 +1,238 @@
+"""Document deduplication at training-data scale.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard and
+embedding-cosine near-dup — first-class operators for the 100 TB
+pipeline this engine feeds. Everything returns DataFrames; near-dup
+detectors emit candidate pairs (left/right doc ids + score) so the
+clustering core (connected components) can fold them into dedup
+groups.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from entityframe_spark.functions.similarity import make_lsh_band_keys_udf
+from entityframe_spark.operators.components import connected_components
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one hash + one groupBy, fully
+    JVM-side. Returns (text_hash, dup_count, doc_ids sorted,
+    keep_id=min) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash/LSH banding (the scale
+    path: |bands| keys per doc, self-join per band — no O(n^2)).
+    Returns (left_id, right_id) distinct canonical pairs."""
+    udf = make_lsh_band_keys_udf(shingle_k, num_hashes, bands)
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(udf(F.col(text_col))).alias("block_key"),
+    )
+    l, r = keys.alias("l"), keys.alias("r")
+    return (
+        l.join(r, "block_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("left_id"), F.col("r.doc_id").alias("right_id")
+        )
+        .distinct()
+    )
+
+
+def make_simhash_udf(bits: int = 64, seed: int = 42):
+    """SimHash over whitespace tokens as an Arrow-batched pandas UDF.
+
+    Token base hash = crc32 (process-stable); each token votes its
+    bit pattern weighted +1/-1; the signature is the sign vector
+    packed into a long. Near-dups differ in few bits (hamming)."""
+
+    @F.pandas_udf(LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = zlib.crc32(tok.encode()) | (
+                    zlib.crc32((tok + "#").encode()) << 32
+                )
+                for b in range(bits):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(bits):
+                if acc[b] > 0:
+                    sig |= 1 << b
+            # pack into signed int64
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any 16-bit band of
+    their 64-bit signature (guarantees recall for hamming distance
+    <= 3 by pigeonhole). Returns (left_id, right_id, hamming)."""
+    sim = make_simhash_udf()
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), sim(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=False)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bandkeys = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    l, r = bandkeys.alias("l"), bandkeys.alias("r")
+    pairs = (
+        l.join(r, "band")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs. With candidate_pairs
+    (e.g. from LSH) it verifies candidates; without, it brute-forces
+    the cross join — only for small doc sets / oracle parity.
+    Returns (left_id, right_id, jaccard)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    g = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    if candidate_pairs is not None:
+        pairs = (
+            candidate_pairs.join(
+                g.withColumnsRenamed({"doc_id": "left_id", "grams": "lg"}), "left_id"
+            ).join(
+                g.withColumnsRenamed({"doc_id": "right_id", "grams": "rg"}), "right_id"
+            )
+        )
+    else:
+        l = g.withColumnsRenamed({"doc_id": "left_id", "grams": "lg"})
+        r = g.withColumnsRenamed({"doc_id": "right_id", "grams": "rg"})
+        pairs = l.crossJoin(r).where(F.col("left_id") < F.col("right_id"))
+    inter = F.size(F.array_intersect("lg", "rg"))
+    union = F.size(F.array_union("lg", "rg"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        pairs.select(
+            "left_id", "right_id", F.round(jac, 6).alias("jaccard")
+        ).where(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute force without
+    candidates (small sets / oracle); with candidates it verifies.
+    Cosine computed JVM-side via F.zip_with + F.aggregate in double."""
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if candidate_pairs is None:
+        l = v.withColumnsRenamed({"vec_id": "left_id", "vec": "lv"})
+        r = v.withColumnsRenamed({"vec_id": "right_id", "vec": "rv"})
+        pairs = l.crossJoin(r).where(F.col("left_id") < F.col("right_id"))
+    else:
+        pairs = (
+            candidate_pairs.join(
+                v.withColumnsRenamed({"vec_id": "left_id", "vec": "lv"}), "left_id"
+            ).join(v.withColumnsRenamed({"vec_id": "right_id", "vec": "rv"}), "right_id")
+        )
+    cos = cosine_expr(F.col("lv"), F.col("rv"))
+    return pairs.select(
+        "left_id", "right_id", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= F.lit(min_cosine))
+
+
+def cosine_expr(a, b):
+    """dot(a,b)/(|a||b|) as pure Column expressions (double)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def dedup_groups(pairs: DataFrame) -> DataFrame:
+    """Fold near-dup pairs into groups via connected components:
+    (doc_id, group_id=min doc id of the group)."""
+    return connected_components(pairs, "left_id", "right_id").withColumnsRenamed(
+        {"node": "doc_id", "component": "group_id"}
+    )

@@ -18,7 +18,11 @@ from entityframe_spark.operators.components import connected_components
 from entityframe_spark.operators import metrics as M
 from entityframe_spark.pipeline.blocking import build_candidate_pairs
 from entityframe_spark.pipeline.checkpoint import StageRunner
-from entityframe_spark.pipeline.scoring import attach_pair_texts, score_pairs
+from entityframe_spark.pipeline.scoring import (
+    attach_pair_texts,
+    prepare_record_features,
+    score_pairs,
+)
 from entityframe_spark.pipeline.transcripts import collapse_conversations
 
 
@@ -142,7 +146,12 @@ def run_pipeline(
 
     collapsed = runner.stage(
         "collapse",
-        lambda: assign_record_ids(collapse_conversations(transcripts)),
+        # feature arrays (tokens/bigrams) are computed here, ONCE per
+        # record, and land in the checkpoint table — pair scoring then
+        # reads physical arrays (see scoring.py scale note)
+        lambda: prepare_record_features(
+            assign_record_ids(collapse_conversations(transcripts))
+        ),
     )
     pairs = runner.stage(
         "pairs", lambda: build_candidate_pairs(collapsed, max_block_size)
