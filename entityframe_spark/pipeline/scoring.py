@@ -1,19 +1,25 @@
 """Vectorized pairwise scoring of candidate pairs (SURVEY.md J5/F6).
 
-Scale-critical design: token/bigram arrays are materialized ONCE PER
-RECORD (prepare_record_features, checkpointed by the collapse stage),
-then each candidate pair gets both sides' arrays via two hash joins
-and scores with array intersections only. Deriving arrays inside the
-per-pair expressions is a trap: Catalyst inlines the split() into
-every lambda element, turning an O(tokens) feature into O(tokens^2)
-string parsing per pair (measured: 20 pairs/sec vs >10k pairs/sec).
+Scale-critical design, in order of what actually dominated measured
+cost on ~500k pairs:
 
-Features (all in [0,1]):
-- bigram_containment / bigram_jaccard: word-order-aware, containment
-  robust to truncated variants;
-- token_jaccard;
-- levenshtein on a bounded prefix (JVM built-in);
-- Jaro-Winkler on a short prefix (Arrow-batched pandas UDF).
+1. Feature arrays are materialized ONCE PER RECORD
+   (prepare_record_features, checkpointed by the collapse stage).
+   Deriving them inside per-pair expressions lets Catalyst inline the
+   split() into every lambda element — O(tokens^2) string parsing per
+   pair (measured 20 pairs/sec).
+2. Pairs carry HASHED features, not strings: token/bigram sets as
+   array<long> (xxhash64 per element) and only a 256-char text
+   prefix. Raw per-pair payload was ~26KB/row (13GB for 515k pairs) —
+   IO-bound, thread-scaling-hostile; hashed payload is ~5-8x smaller
+   and long-array intersects beat string intersects.
+3. Jaro-Winkler runs on a 128-char prefix in an Arrow-batched pandas
+   UDF; Levenshtein (JVM built-in) on the 256-char prefix — the
+   O(len^2) DP at 512 chars was 4x the whole rest (measured).
+
+Features (all in [0,1]): bigram containment/jaccard (order-aware;
+containment is what separates truncated variants), token jaccard,
+prefix levenshtein, prefix jaro-winkler.
 """
 
 from __future__ import annotations
@@ -27,9 +33,6 @@ from entityframe_spark.functions.similarity import (
     levenshtein_sim,
 )
 
-# bigram containment dominates: near-dupes (synonym swaps, whitespace,
-# truncated tails) keep almost all bigrams of the shorter side, while
-# unrelated texts sharing vocabulary do not share word ORDER
 DEFAULT_WEIGHTS = {
     "bigram_containment": 0.35,
     "bigram_jaccard": 0.2,
@@ -38,11 +41,13 @@ DEFAULT_WEIGHTS = {
     "jaro_winkler": 0.15,
 }
 
-FEATURE_COLS = ["record_id", "full_text", "toks", "grams"]
+PREFIX_LEN = 256
+FEATURE_COLS = ["record_id", "prefix", "toks_h", "grams_h"]
 
 
 def prepare_record_features(collapsed: DataFrame, text_col: str = "full_text") -> DataFrame:
-    """Add materialized token + bigram arrays per record. MUST be
+    """Add per-record scoring features: 256-char prefix, hashed
+    distinct-token set, hashed distinct-bigram set. MUST be
     checkpointed/written before pair scoring so the arrays are
     physical, not re-derived per pair."""
     toks_raw = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
@@ -57,34 +62,34 @@ def prepare_record_features(collapsed: DataFrame, text_col: str = "full_text") -
             ),
         )
     )
+    hash_all = lambda arr: F.transform(arr, lambda s: F.xxhash64(s))  # noqa: E731
     return (
-        out.withColumn("toks", F.array_distinct(F.col("_toks_raw")))
-        .withColumn("grams", grams)
+        out.withColumn("prefix", F.substring(F.col(text_col), 1, PREFIX_LEN))
+        .withColumn("toks_h", hash_all(F.array_distinct(F.col("_toks_raw"))))
+        .withColumn("grams_h", hash_all(grams))
         .drop("_toks_raw")
     )
 
 
 def attach_pair_texts(pairs: DataFrame, features: DataFrame) -> DataFrame:
-    """Two equi-joins pulling both sides' text + arrays onto each pair.
-
-    ``features`` must carry FEATURE_COLS (from
-    prepare_record_features); if the array columns are missing they
-    are derived here (small-input convenience path).
-    """
-    if "toks" not in features.columns:
+    """Two equi-joins pulling both sides' prefix + hashed arrays onto
+    each pair. ``features`` must carry FEATURE_COLS (from
+    prepare_record_features); derived here if missing (small-input
+    convenience path)."""
+    if "toks_h" not in features.columns:
         features = prepare_record_features(features).localCheckpoint(eager=False)
     sel = features.select(*FEATURE_COLS)
     left = sel.select(
         F.col("record_id").alias("left_id"),
-        F.col("full_text").alias("left_text"),
-        F.col("toks").alias("ltoks"),
-        F.col("grams").alias("lgrams"),
+        F.col("prefix").alias("left_text"),
+        F.col("toks_h").alias("ltoks"),
+        F.col("grams_h").alias("lgrams"),
     )
     right = sel.select(
         F.col("record_id").alias("right_id"),
-        F.col("full_text").alias("right_text"),
-        F.col("toks").alias("rtoks"),
-        F.col("grams").alias("rgrams"),
+        F.col("prefix").alias("right_text"),
+        F.col("toks_h").alias("rtoks"),
+        F.col("grams_h").alias("rgrams"),
     )
     return pairs.join(left, "left_id").join(right, "right_id")
 
@@ -104,17 +109,21 @@ def _containment(a, b):
 def score_pairs(
     pairs_with_texts: DataFrame,
     feature_weights: dict[str, float] | None = None,
-    # O(len^2) DP: 256-char prefixes are 4x cheaper than 512 and the
-    # feature carries only 0.15 of the weight — measured 24s -> 6s on
-    # 10k pairs of ~1.1KB texts
-    lev_max_len: int = 256,
+    lev_max_len: int = PREFIX_LEN,
     jw_max_len: int = 128,
 ) -> DataFrame:
     """-> (left_id, right_id, block_key, <features>, weight).
     weight = convex combination of the features."""
     w = feature_weights or DEFAULT_WEIGHTS
     lt, rt = F.col("left_text"), F.col("right_text")
-    scored = pairs_with_texts.select(
+    # two projections on purpose: Catalyst's ExtractPythonUDFs places
+    # the ArrowEvalPython node directly above the child of the
+    # projection that references the UDF, so a single select would
+    # stream the BIG array columns through the Python workers as
+    # pass-through (measured: anti-scaling, 32 cores slower than 8).
+    # Computing the JVM features first drops the arrays before the
+    # UDF's input schema is fixed.
+    jvm_scored = pairs_with_texts.select(
         "left_id",
         "right_id",
         "block_key",
@@ -124,8 +133,13 @@ def score_pairs(
         F.round(_jaccard(F.col("lgrams"), F.col("rgrams")), 6).alias("bigram_jaccard"),
         F.round(_jaccard(F.col("ltoks"), F.col("rtoks")), 6).alias("token_jaccard"),
         F.round(levenshtein_sim(lt, rt, lev_max_len), 6).alias("levenshtein"),
-        F.round(jaro_winkler_sim(lt, rt, jw_max_len), 6).alias("jaro_winkler"),
-    )
+        F.substring(lt, 1, jw_max_len).alias("_lt"),
+        F.substring(rt, 1, jw_max_len).alias("_rt"),
+    ).localCheckpoint(eager=False)
+    scored = jvm_scored.withColumn(
+        "jaro_winkler",
+        F.round(jaro_winkler_sim(F.col("_lt"), F.col("_rt"), jw_max_len), 6),
+    ).drop("_lt", "_rt")
     total = sum(w.values())
     weight = None
     for name, coef in w.items():
