@@ -27,9 +27,12 @@ def intern_records(
 ) -> DataFrame:
     """Dedup (source, key) pairs and assign record ids.
 
-    dense_ids=True  -> row_number() over (source, key): dense,
-                       deterministic, but a global sort (fine for
-                       dimension-sized data).
+    dense_ids=True  -> global rank over (source, key): dense and
+                       deterministic, computed scale-safely as a
+                       TWO-PHASE rank — range-repartition on the sort
+                       key, per-partition row_number (parallel), plus a
+                       broadcast per-partition offset. No single-task
+                       global Window.
     dense_ids=False -> xxhash64(source, key): shuffle-free surrogate
                        for the 100 TB path; ids are stable but sparse.
 
@@ -45,13 +48,37 @@ def intern_records(
         .where(F.col("key").isNotNull())
         .dropDuplicates(["source", "key"])
     )
-    if dense_ids:
-        w = Window.orderBy("source", "key")
-        return base.withColumn(
-            "record_id", (F.row_number().over(w) - F.lit(1)).cast("long")
-        ).select("record_id", "source", "key")
-    return base.withColumn("record_id", F.xxhash64("source", "key")).select(
-        "record_id", "source", "key"
+    if not dense_ids:
+        return base.withColumn("record_id", F.xxhash64("source", "key")).select(
+            "record_id", "source", "key"
+        )
+    # two-phase dense rank: rangeExchange orders partitions globally;
+    # the id is offset(partition) + local row_number - 1, identical to a
+    # global ROW_NUMBER() OVER (ORDER BY source, key) - 1 because
+    # (source, key) is unique after the dedup above. The offsets table
+    # is one small collect (n_partitions rows).
+    ranged = base.repartitionByRange("source", "key").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    spark = base.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("source", "key")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "record_id",
+            (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .select("record_id", "source", "key")
     )
 
 

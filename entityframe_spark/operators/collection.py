@@ -11,6 +11,7 @@ fixed-point threshold.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,9 @@ class Collection:
         # self-joins (measured: minutes of pure planning at toy scale).
         self.records = records.localCheckpoint(eager=False)
         self.merge_edges = merge_edges.localCheckpoint(eager=False)
-        self._cache: dict[int, DataFrame] = {}
+        # true LRU (move-to-end on hit, evict oldest), matching the
+        # reference's partition cache semantics (builder.rs:41,264-273)
+        self._cache: OrderedDict[int, DataFrame] = OrderedDict()
 
     # -- construction ------------------------------------------------------
 
@@ -134,12 +137,13 @@ class Collection:
             raise ValueError(f"threshold must be in [0, 1], got {threshold}")
         t_fp = threshold_to_fp(threshold)
         if t_fp in self._cache:
+            self._cache.move_to_end(t_fp)
             return self._cache[t_fp]
         part = hierarchy.partition_at(self.merge_edges, self.records, t_fp).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         if len(self._cache) >= _CACHE_SIZE:
-            _, evicted = self._cache.popitem()
+            _, evicted = self._cache.popitem(last=False)
             evicted.unpersist()
         self._cache[t_fp] = part
         return part

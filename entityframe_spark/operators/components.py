@@ -123,26 +123,40 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
     )
     # persist so the size-probe job and the actual traversal share one
-    # materialisation of the dedup shuffle
-    e = e.persist()
-    n_edges = e.count()
+    # materialisation of the dedup shuffle; released before returning so
+    # repeated calls (per-threshold partition_at) don't accumulate
+    # executor storage over a session
+    e0 = e.persist()
+    n_edges = e0.count()
     if n_edges == 0:
-        return e.sparkSession.createDataFrame([], "node long, component long")
+        e0.unpersist()
+        return e0.sparkSession.createDataFrame([], "node long, component long")
     if n_edges <= local_threshold:
-        return _cc_single_task(e)
+        # eager checkpoint materialises the (small) result so the input
+        # cache can be dropped immediately
+        out = _cc_single_task(e0).localCheckpoint(eager=True)
+        e0.unpersist()
+        return out
 
-    e = e.localCheckpoint(eager=False)
+    e = e0.localCheckpoint(eager=False)
     sig = _signature(e)
-    for _ in range(max_iterations):
-        # lazy checkpoint: the signature job right after materialises it,
-        # cutting lineage without computing the round twice
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        new_sig = _signature(e)
-        if new_sig == sig:
-            break
-        sig = new_sig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    try:
+        for _ in range(max_iterations):
+            # lazy checkpoint: the signature job right after materialises
+            # it, cutting lineage without computing the round twice
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            new_sig = _signature(e)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        # the last round is materialised (its signature job ran), so the
+        # original edge cache is no longer needed
+        e0.unpersist()
 
     # converged edge set is a star forest: (member u>root? no — canonical
     # keeps u<v, so rows are (root=u, member=v)); roots also map to themselves

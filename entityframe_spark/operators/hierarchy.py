@@ -90,21 +90,47 @@ def _local_single_linkage(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_merge_edges(edges_fp: DataFrame) -> DataFrame:
+def build_merge_edges(
+    edges_fp: DataFrame,
+    max_component_edges: int | None = 10_000_000,
+) -> DataFrame:
     """edges_fp(src long, dst long, w_fp long) -> merge_edges DataFrame.
 
     One global CC + one shuffle on component + Arrow-batched local
     sweeps.
+
+    ``max_component_edges`` guards the skew failure mode: one giant
+    (near-global) component would funnel its whole edge set into a
+    single applyInPandas task and OOM the executor. The guard costs one
+    cheap count-per-component aggregation (same shuffle key as the
+    sweep) and raises with guidance instead of silently serializing.
+    Pass None to disable (trusted pre-blocked inputs).
     """
     comps = connected_components(edges_fp, "src", "dst")
     tagged = edges_fp.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
         "src",
-    )
-    return (
-        tagged.select("_comp", "src", "dst", "w_fp")
-        .groupBy("_comp")
-        .applyInPandas(lambda pdf: _local_single_linkage(pdf), schema=MERGE_EDGE_SCHEMA)
+    ).select("_comp", "src", "dst", "w_fp")
+    if max_component_edges is not None:
+        tagged = tagged.localCheckpoint(eager=False)
+        hot = (
+            tagged.groupBy("_comp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > int(max_component_edges))
+            .orderBy(F.col("_n").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"component {hot[0]['_comp']} has {hot[0]['_n']} edges "
+                f"(> max_component_edges={max_component_edges}); a giant "
+                "component would serialize into one task. Tighten blocking "
+                "upstream (smaller blocks / drop hot LSH bands), raise the "
+                "cap, or pass max_component_edges=None to force it."
+            )
+    return tagged.groupBy("_comp").applyInPandas(
+        lambda pdf: _local_single_linkage(pdf), schema=MERGE_EDGE_SCHEMA
     )
 
 

@@ -45,14 +45,25 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_band_size: int = 256,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash/LSH banding (the scale
     path: |bands| keys per doc, self-join per band — no O(n^2)).
-    Returns (left_id, right_id) distinct canonical pairs."""
+    Returns (left_id, right_id) distinct canonical pairs.
+
+    Hot bands (> max_band_size members) are DROPPED, same as
+    blocking.lsh_block_keys: a band bucket shared by hundreds of docs
+    carries no near-dup signal and emits O(band^2) pairs (measured:
+    one 492-member band -> 121k pairs from 5k docs). True near-dups
+    still collide in another of the ``bands`` bands w.h.p."""
     udf = make_lsh_band_keys_udf(shingle_k, num_hashes, bands)
     keys = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(udf(F.col(text_col))).alias("block_key"),
+    )
+    sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    keys = keys.join(sizes.where(F.col("_bsz") <= max_band_size), "block_key").select(
+        "doc_id", "block_key"
     )
     l, r = keys.alias("l"), keys.alias("r")
     return (
@@ -72,6 +83,8 @@ def make_simhash_udf(bits: int = 64, seed: int = 42):
     bit pattern weighted +1/-1; the signature is the sign vector
     packed into a long. Near-dups differ in few bits (hamming)."""
 
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
     @F.pandas_udf(LongType())
     def simhash(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
@@ -79,17 +92,21 @@ def make_simhash_udf(bits: int = 64, seed: int = 42):
             toks = t.lower().split()
             if not toks:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                h = zlib.crc32(tok.encode()) | (
-                    zlib.crc32((tok + "#").encode()) << 32
-                )
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    sig |= 1 << b
+            # crc32 per token (C-speed); all bit math vectorized:
+            # (n_tok x bits) bit matrix -> per-bit vote sum -> sign pack
+            h = np.fromiter(
+                (
+                    zlib.crc32(tok.encode())
+                    | (zlib.crc32((tok + "#").encode()) << 32)
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            ones = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).sum(axis=0)
+            # vote = ones - zeros = 2*ones - n; bit set iff vote > 0
+            sig_bits = (2 * ones.astype(np.int64) - len(toks)) > 0
+            sig = int((sig_bits.astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
             # pack into signed int64
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
@@ -162,8 +179,12 @@ def ngram_jaccard_pairs(
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            # try_element_at: short docs (<n tokens) emit one truncated
+            # gram (NULLs dropped by concat_ws) — matches the DuckDB
+            # oracle's clamped toks[i:i+n-1] slice — instead of raising
+            # under ANSI mode
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)]
             ),
         )
     )

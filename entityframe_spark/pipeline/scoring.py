@@ -55,10 +55,12 @@ def prepare_record_features(collapsed: DataFrame, text_col: str = "full_text") -
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(F.col("_toks_raw")) - 2, F.lit(0))),
+            # try_element_at: NULL (dropped by concat_ws) past the end
+            # instead of ANSI INVALID_ARRAY_INDEX on <2-token texts
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(F.col("_toks_raw"), i + 1),
-                F.element_at(F.col("_toks_raw"), i + 2),
+                F.try_element_at(F.col("_toks_raw"), i + 1),
+                F.try_element_at(F.col("_toks_raw"), i + 2),
             ),
         )
     )

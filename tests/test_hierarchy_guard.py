@@ -1,0 +1,64 @@
+"""Giant-component guard + intern scale-path tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_build_merge_edges_guard_raises_on_giant_component(spark):
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+
+    # one chain component of 5k edges
+    edges = spark.range(5000).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        (F.col("id") % 100 * 10000).alias("w_fp"),
+    )
+    with pytest.raises(ValueError, match="max_component_edges"):
+        build_merge_edges(edges, max_component_edges=1000)
+
+
+def test_build_merge_edges_completes_under_cap_100k(spark):
+    """VERDICT item 4: a 100k-edge single component must complete when
+    the cap allows it (default cap is 10M)."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+
+    n = 100_000
+    edges = spark.range(n).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        ((F.col("id") * 37) % 1000 * 1000).alias("w_fp"),
+    )
+    me = build_merge_edges(edges)
+    # a chain of n edges produces exactly n merge events
+    assert me.count() == n
+
+
+def test_intern_records_dense_two_phase_matches_global_rank(spark):
+    """Dense ids must equal ROW_NUMBER() OVER (ORDER BY source, key) - 1
+    with no single-task global Window in the plan."""
+    from entityframe_spark.core.records import intern_records
+
+    df = spark.range(997).select(
+        F.when(F.col("id") % 3 == 0, "src_a").otherwise("src_b").alias("source"),
+        F.concat(F.lit("k"), (F.col("id") * 7919 % 1000).cast("string")).alias("key"),
+    )
+    out = intern_records(df).collect()
+    rows = sorted(((r["source"], r["key"]) for r in out))
+    got = {(r["source"], r["key"]): r["record_id"] for r in out}
+    for rank, sk in enumerate(rows):
+        assert got[sk] == rank
+    # ids dense 0..n-1
+    ids = sorted(got.values())
+    assert ids == list(range(len(ids)))
+
+
+def test_intern_records_dense_no_single_partition_exchange(spark):
+    from entityframe_spark.core.records import intern_records
+
+    df = spark.range(100).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("key")
+    )
+    plan = intern_records(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

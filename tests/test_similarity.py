@@ -1,0 +1,151 @@
+"""Similarity-function unit tests: vectorized Jaro-Winkler parity
+with the scalar reference, ANSI-safe n-gram builders on degenerate
+texts, simhash vectorization, LRU cache semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from entityframe_spark.functions.similarity import (
+    _jaro_winkler,
+    jaro_winkler_batch,
+)
+
+
+def _rand_str(rng: random.Random, maxlen: int, alpha: str) -> str:
+    return "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen)))
+
+
+class TestJaroWinklerBatch:
+    def test_known_values(self):
+        # classic published JW examples
+        assert abs(jaro_winkler_batch(["martha"], ["marhta"])[0] - 0.9611111111111111) < 1e-12
+        assert abs(jaro_winkler_batch(["dixon"], ["dicksonx"])[0] - 0.8133333333333332) < 1e-9
+        assert abs(jaro_winkler_batch(["duane"], ["dwayne"])[0] - 0.84) < 1e-9
+
+    def test_edge_cases(self):
+        out = jaro_winkler_batch(
+            ["", "", "abc", "a", "ab", "same"],
+            ["", "abc", "", "a", "ba", "same"],
+        )
+        assert out[0] == 1.0  # both empty == equal
+        assert out[1] == 0.0
+        assert out[2] == 0.0
+        assert out[3] == 1.0
+        assert out[5] == 1.0
+
+    @pytest.mark.parametrize("alpha", ["abcde ", "abcde éσ日", "".join(chr(0x4E00 + k) for k in range(80))])
+    def test_parity_with_scalar(self, alpha):
+        rng = random.Random(42)
+        cases = []
+        for _ in range(800):
+            a = _rand_str(rng, 50, alpha)
+            if rng.random() < 0.5:
+                b = a
+                if b and rng.random() < 0.7:
+                    i = rng.randrange(len(b))
+                    b = b[:i] + rng.choice(alpha) + b[i + 1 :]
+            else:
+                b = _rand_str(rng, 50, alpha)
+            cases.append((a, b))
+        got = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+        for (a, b), g in zip(cases, got):
+            assert abs(_jaro_winkler(a, b) - g) < 1e-12, (a, b)
+
+    def test_truncation_matches_scalar_on_prefix(self):
+        a = "x" * 300
+        b = "x" * 100 + "y" * 200
+        got = jaro_winkler_batch([a], [b], max_len=128)[0]
+        assert abs(_jaro_winkler(a[:128], b[:128]) - got) < 1e-12
+
+
+class TestAnsiSafeGrams:
+    """Spark 4 defaults to ANSI mode: element_at past the end raises.
+    Degenerate texts (empty / 1-token) must not crash any gram path."""
+
+    def test_bigram_jaccard_short_texts(self, spark):
+        from entityframe_spark.functions.similarity import bigram_jaccard
+
+        df = spark.createDataFrame(
+            [("", ""), ("one", ""), ("one", "one"), ("a b", "a"), ("", "x y z")],
+            "a string, b string",
+        )
+        rows = df.select(F.round(bigram_jaccard(F.col("a"), F.col("b")), 6).alias("j")).collect()
+        assert len(rows) == 5
+        assert rows[2]["j"] == 1.0
+
+    def test_prepare_record_features_short_texts(self, spark):
+        from entityframe_spark.pipeline.scoring import prepare_record_features
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "single"), (3, "two tokens"), (4, "a b c")],
+            "record_id long, full_text string",
+        )
+        out = prepare_record_features(df).collect()
+        by_id = {r["record_id"]: r for r in out}
+        assert by_id[2]["grams_h"] is not None
+        assert len(by_id[4]["grams_h"]) == 2  # "a b", "b c"
+
+    def test_ngram_jaccard_pairs_short_docs(self, spark):
+        from entityframe_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, ""), (4, "one"), (5, "x y z w")],
+            "doc_id long, text string",
+        )
+        rows = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).collect()
+        got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in rows}
+        assert got[(1, 2)] == 1.0  # identical short docs
+
+
+class TestSimhash:
+    def test_simhash_deterministic_and_discriminative(self, spark):
+        from entityframe_spark.pipeline.dedup import make_simhash_udf, simhash_candidates
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different content about spark engines"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        sim = make_simhash_udf()
+        sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", sim(F.col("text")).alias("s")).collect()}
+        # determinism across executions
+        sigs2 = {r["doc_id"]: r["s"] for r in docs.select("doc_id", sim(F.col("text")).alias("s")).collect()}
+        assert sigs == sigs2
+        assert sigs[4] == 0
+        ham12 = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        ham13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+        assert ham12 < ham13  # near-dup closer than unrelated
+
+        cands = simhash_candidates(docs)
+        pairs = {(r["left_id"], r["right_id"]): r["hamming"] for r in cands.collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+
+
+class TestCollectionLRU:
+    def test_lru_eviction_order(self, spark):
+        from entityframe_spark.operators.collection import _CACHE_SIZE, Collection
+
+        edges = [(f"a{i}", f"b{i}", (i + 1) / 20.0) for i in range(15)]
+        coll = Collection.from_edges(spark, edges)
+        # fill cache
+        thresholds = [round(0.05 * k, 2) for k in range(1, _CACHE_SIZE + 1)]
+        for t in thresholds:
+            coll.at(t)
+        first = thresholds[0]
+        from entityframe_spark.core.quantize import threshold_to_fp
+
+        # hit the oldest -> becomes most-recent; a new insert must evict
+        # thresholds[1], not thresholds[0]
+        coll.at(first)
+        coll.at(0.99)
+        assert threshold_to_fp(first) in coll._cache
+        assert threshold_to_fp(thresholds[1]) not in coll._cache
+        assert threshold_to_fp(0.99) in coll._cache
