@@ -152,7 +152,9 @@ SELECT
   CAST(round(2 * (1 - h_b_given_a / h_b) * (1 - h_a_given_b / h_a)
        / ((1 - h_b_given_a / h_b) + (1 - h_a_given_b / h_a)), 6) AS DOUBLE) AS v_measure,
   CAST(round(bc_p / n_tot, 6) AS DOUBLE) AS bcubed_precision,
-  CAST(round(bc_r / n_tot, 6) AS DOUBLE) AS bcubed_recall
+  CAST(round(bc_r / n_tot, 6) AS DOUBLE) AS bcubed_recall,
+  CAST(round((tp + (n_tot * (n_tot - 1) / 2.0 - pp - ap + tp))
+       / (n_tot * (n_tot - 1) / 2.0), 6) AS DOUBLE) AS agreement
 FROM sums CROSS JOIN marga CROSS JOIN margb
 """
 
@@ -415,6 +417,143 @@ def q_sweep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_records_intern_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S6: attribute identity — same (source, key) with different
+    attrs is a different record (data_context.rs:47-78). Keys are
+    doc_id % 100 so attr maps disambiguate colliding keys."""
+    from entityframe_spark.core.records import intern_records_with_attributes
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("source"),
+        (F.col("doc_id") % 100).cast("string").alias("key"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("attrs"),
+    )
+    out = intern_records_with_attributes(d)
+    return out.select("record_id", "source", "key", "attr_sig")
+
+
+def q_assimilate_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U3: two collections interned on DIFFERENT key universes,
+    assimilated into one frame space, compared via contingency.
+    A = custkeys < 600 clustered by mktsegment; B = custkeys >= 300 by
+    nation%5; assimilation appends B-only keys after A's ids."""
+    from entityframe_spark.core.quantize import threshold_to_fp
+    from entityframe_spark.core.records import intern_records
+    from entityframe_spark.operators import hierarchy
+    from entityframe_spark.operators.collection import Collection
+    from entityframe_spark.operators.entityframe import EntityFrame
+    from entityframe_spark.operators.metrics import contingency
+
+    c = _load(spark, sf_dir, "customer")
+
+    def make(universe: DataFrame, cluster_col) -> Collection:
+        recs = intern_records(
+            universe.select(
+                F.lit("s").alias("source"),
+                F.col("c_custkey").cast("string").alias("key"),
+            ),
+            "source",
+            "key",
+        )
+        mem = (
+            universe.select(
+                F.col("c_custkey").cast("string").alias("key"),
+                cluster_col.alias("cluster_key"),
+            )
+            .join(recs, "key")
+            .select("record_id", "cluster_key")
+        )
+        reps = mem.groupBy("cluster_key").agg(F.min("record_id").alias("cid"))
+        m = mem.join(reps, "cluster_key").select(
+            "record_id", F.col("cid").alias("cluster_id")
+        )
+        return Collection.from_memberships(m, records=recs)
+
+    a = make(c.where(F.col("c_custkey") < 600), F.col("c_mktsegment"))
+    b = make(
+        c.where(F.col("c_custkey") >= 300),
+        (F.col("c_nationkey") % 5).cast("string"),
+    )
+    ef = EntityFrame()
+    ef.add_collection("a", a)
+    ef.add_collection("b", b)
+    t = threshold_to_fp(1.0)
+    pa = hierarchy.partition_at(ef.collections["a"].merge_edges, ef.records, t)
+    pb = hierarchy.partition_at(ef.collections["b"].merge_edges, ef.records, t)
+    return contingency(pa, pb)
+
+
+def q_entity_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: entity lifetimes over the sweep grid. (cluster_id,
+    entity_size) identifies an entity: clusters sharing a min record
+    are nested, so equal size => identical member set."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+    from entityframe_spark.operators.stability import entity_lifetime
+
+    edges = _supplier_edges(spark, sf_dir)
+    me = build_merge_edges(edges).localCheckpoint(eager=False)
+    recs = _edge_records(edges)
+    out = entity_lifetime(me, recs, SWEEP_FPS)
+    return out.select(
+        "cluster_id", "entity_size", "t_start_fp", "t_end_fp", "lifetime_points"
+    )
+
+
+def q_stability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: S(t1,t2) = |P(t1) ∩ P(t2)| / |P(t1) ∪ P(t2)| over entity
+    sets for the supplier hierarchy at (0.5, 0.2)."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+    from entityframe_spark.operators.stability import stability_score
+
+    edges = _supplier_edges(spark, sf_dir)
+    me = build_merge_edges(edges).localCheckpoint(eager=False)
+    recs = _edge_records(edges)
+    out = stability_score(me, recs, 500_000, 200_000)
+    return _round6(out, ["stability"]).select(
+        "common_entities", "total_entities", "stability"
+    )
+
+
+def q_consensus_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: the sweep-grid threshold that best agrees with the truth
+    partition (argmax f1) — consensus cut selection."""
+    out = q_sweep_metrics(spark, sf_dir)
+    return (
+        out.orderBy(F.col("f1").desc(), F.col("threshold_fp"))
+        .limit(1)
+        .select("threshold_fp", "f1")
+    )
+
+
+def q_merge_criticality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: top-20 most critical merges C(m) = |E_l| x |E_r| on the
+    supplier hierarchy (rows-only check: union-find merge sizes are
+    not expressible in one SQL pass)."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges_sized
+    from entityframe_spark.operators.stability import merge_criticality
+
+    edges = _supplier_edges(spark, sf_dir)
+    sized = build_merge_edges_sized(edges)
+    return (
+        merge_criticality(sized)
+        .orderBy(F.col("criticality").desc(), F.col("child"))
+        .limit(20)
+        .select("threshold_fp", "child", "parent", "criticality", "merged_size")
+    )
+
+
+def q_information_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: relative information loss per merge threshold (rows-only
+    check; formula documented in operators/stability.py)."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges_sized
+    from entityframe_spark.operators.stability import information_content
+
+    edges = _supplier_edges(spark, sf_dir)
+    sized = build_merge_edges_sized(edges)
+    out = information_content(sized)
+    return _round6(out, ["i_cum", "info_loss"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "records_intern": q_records_intern,
@@ -437,6 +576,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "transcript_collapse": q_transcript_collapse,
         "sweep_metrics": q_sweep_metrics,
+        "records_intern_attrs": q_records_intern_attrs,
+        "assimilate_contingency": q_assimilate_contingency,
+        "entity_lifetime": q_entity_lifetime,
+        "stability_score": q_stability_score,
+        "consensus_threshold": q_consensus_threshold,
+        "merge_criticality": q_merge_criticality,
+        "information_loss": q_information_loss,
     }
 
 
@@ -598,7 +744,93 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["sweep_metrics"] = _SWEEP_METRICS_ORACLE
 
+    sqls["records_intern_attrs"] = """
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, key, attr_sig) - 1 AS BIGINT)
+               AS record_id,
+             source, key, attr_sig
+      FROM (SELECT DISTINCT source,
+                   CAST(doc_id % 100 AS VARCHAR) AS key,
+                   CASE WHEN lang IS NULL THEN '{"lang":null}'
+                        ELSE '{"lang":"' || lang || '"}' END AS attr_sig
+            FROM documents)
+    """
+
+    sqls["assimilate_contingency"] = """
+      WITH univ_a AS (SELECT c_custkey AS k, c_mktsegment AS grp
+                      FROM customer WHERE c_custkey < 600),
+           univ_b AS (SELECT c_custkey AS k, CAST(c_nationkey % 5 AS VARCHAR) AS grp
+                      FROM customer WHERE c_custkey >= 300),
+           frame0 AS (SELECT CAST(k AS VARCHAR) AS key,
+                             CAST(ROW_NUMBER() OVER (ORDER BY CAST(k AS VARCHAR)) - 1 AS BIGINT) AS rid
+                      FROM univ_a),
+           unseen AS (SELECT CAST(k AS VARCHAR) AS key FROM univ_b
+                      WHERE CAST(k AS VARCHAR) NOT IN (SELECT key FROM frame0)),
+           appended AS (SELECT key,
+                               (SELECT MAX(rid) FROM frame0)
+                               + CAST(ROW_NUMBER() OVER (ORDER BY key) AS BIGINT) AS rid
+                        FROM unseen),
+           frame AS (SELECT key, rid FROM frame0 UNION ALL SELECT key, rid FROM appended),
+           amem AS (SELECT f.rid, a.grp FROM univ_a a
+                    JOIN frame f ON f.key = CAST(a.k AS VARCHAR)),
+           areps AS (SELECT grp, MIN(rid) AS cl FROM amem GROUP BY grp),
+           alab AS (SELECT amem.rid, areps.cl FROM amem JOIN areps USING (grp)),
+           bmem AS (SELECT f.rid, b.grp FROM univ_b b
+                    JOIN frame f ON f.key = CAST(b.k AS VARCHAR)),
+           breps AS (SELECT grp, MIN(rid) AS cl FROM bmem GROUP BY grp),
+           blab AS (SELECT bmem.rid, breps.cl FROM bmem JOIN breps USING (grp)),
+           allr AS (SELECT frame.rid,
+                           COALESCE(alab.cl, frame.rid) AS cluster_a,
+                           COALESCE(blab.cl, frame.rid) AS cluster_b
+                    FROM frame
+                    LEFT JOIN alab ON alab.rid = frame.rid
+                    LEFT JOIN blab ON blab.rid = frame.rid)
+      SELECT cluster_a, cluster_b, COUNT(*) AS n FROM allr GROUP BY 1, 2
+    """
+
+    sqls["entity_lifetime"] = f"""
+      WITH all_t AS ({_cc_sweep_oracle(
+        "SELECT CAST({t} AS BIGINT) AS t, cluster_id, "
+        "CAST(COUNT(*) AS BIGINT) AS entity_size FROM comp GROUP BY 2"
+      )})
+      SELECT cluster_id, entity_size,
+             MAX(t) AS t_start_fp, MIN(t) AS t_end_fp,
+             CAST(COUNT(*) AS BIGINT) AS lifetime_points
+      FROM all_t GROUP BY 1, 2
+    """
+
+    sqls["stability_score"] = _STABILITY_ORACLE
+
+    sqls["consensus_threshold"] = f"""
+      SELECT threshold_fp, f1 FROM ({_SWEEP_METRICS_ORACLE})
+      ORDER BY f1 DESC, threshold_fp LIMIT 1
+    """
+
     return sqls
+
+
+def _entity_sig_cte(t: int, name: str) -> str:
+    """comp at threshold t -> one member-list signature per cluster."""
+    return _cc_oracle_sql(
+        t,
+        "SELECT string_agg(CAST(record_id AS VARCHAR), ',' "
+        "ORDER BY record_id) AS sig FROM comp GROUP BY cluster_id",
+    )
+
+
+_STABILITY_ORACLE = f"""
+WITH a AS ({_entity_sig_cte(500_000, "a")}),
+     b AS ({_entity_sig_cte(200_000, "b")}),
+     u AS (SELECT sig, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+             SELECT sig, 1 AS ina, 0 AS inb FROM a
+             UNION ALL
+             SELECT sig, 0, 1 FROM b) GROUP BY sig)
+SELECT CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS common_entities,
+       CAST(COUNT(*) AS BIGINT) AS total_entities,
+       CAST(round(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::DOUBLE
+            / COUNT(*), 6) AS DOUBLE) AS stability
+FROM u
+"""
 
 
 _TEXT_PROFILE_SQL = r"""

@@ -52,33 +52,100 @@ def intern_records(
         return base.withColumn("record_id", F.xxhash64("source", "key")).select(
             "record_id", "source", "key"
         )
-    # two-phase dense rank: rangeExchange orders partitions globally;
-    # the id is offset(partition) + local row_number - 1, identical to a
-    # global ROW_NUMBER() OVER (ORDER BY source, key) - 1 because
-    # (source, key) is unique after the dedup above. The offsets table
-    # is one small collect (n_partitions rows).
-    ranged = base.repartitionByRange("source", "key").withColumn(
+    return dense_rank_ids(base, ["source", "key"]).select(
+        "record_id", "source", "key"
+    )
+
+
+def dense_rank_ids(
+    base: DataFrame, order_cols: list[str], offset: int = 0
+) -> DataFrame:
+    """Scale-safe global dense rank: adds ``record_id`` = offset +
+    rank over ``order_cols`` (which must be unique per row).
+
+    Two-phase: rangeExchange orders partitions globally; the id is
+    offset(partition) + local row_number - 1 — identical to a global
+    ROW_NUMBER() OVER (ORDER BY order_cols) - 1 + offset but with NO
+    single-task global Window. The per-partition offsets table is one
+    small collect (n_partitions rows).
+    """
+    ranged = base.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.localCheckpoint(eager=False)
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
-    offsets = {}
-    acc = 0
+    offsets, acc = {}, int(offset)
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_n"]
-    spark = base.sparkSession
-    off_df = spark.createDataFrame(
+    off_df = base.sparkSession.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy("source", "key")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn(
             "record_id",
             (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long"),
         )
-        .select("record_id", "source", "key")
+        .drop("_pid", "_off")
+    )
+
+
+def attrs_signature(attrs_col) -> "F.Column":
+    """Deterministic canonical string for a map<string,string> attrs
+    column: JSON of the entries sorted by key. Two records with the
+    same attrs in different insertion order get the same signature —
+    matching the reference's interned-attr identity semantics
+    (data_context.rs:47-78, where HashMap equality is order-free)."""
+    return F.coalesce(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(attrs_col)))),
+        F.lit("{}"),
+    )
+
+
+def intern_records_with_attributes(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "key",
+    attrs_col: str = "attrs",
+    dense_ids: bool = True,
+) -> DataFrame:
+    """S2/S6: identity = (source, key, attrs) — the same (source, key)
+    with DIFFERENT attributes is a different record, exactly the
+    reference's ensure_record_with_attributes
+    (data_context.rs:47-78, parity tests :111-204).
+
+    ``attrs_col`` is a map<string,string> column (missing/null -> {}).
+    Returns DataFrame(record_id long, source string, key string,
+    attrs map<string,string>, attr_sig string). Dense ids use the same
+    two-phase global rank as intern_records, ordered by
+    (source, key, attr_sig) for determinism.
+    """
+    cols = {c.lower() for c in df.columns}
+    attrs = (
+        F.col(attrs_col)
+        if attrs_col.lower() in cols
+        else F.lit(None).cast("map<string,string>")
+    )
+    base = (
+        df.select(
+            F.coalesce(F.col(source_col).cast("string"), F.lit(DEFAULT_SOURCE)).alias(
+                "source"
+            ),
+            F.col(key_col).cast("string").alias("key"),
+            attrs.alias("attrs"),
+        )
+        .where(F.col("key").isNotNull())
+        .withColumn("attr_sig", attrs_signature(F.col("attrs")))
+        .dropDuplicates(["source", "key", "attr_sig"])
+    )
+    if not dense_ids:
+        return base.withColumn(
+            "record_id", F.xxhash64("source", "key", "attr_sig")
+        ).select("record_id", "source", "key", "attrs", "attr_sig")
+    return dense_rank_ids(base, ["source", "key", "attr_sig"]).select(
+        "record_id", "source", "key", "attrs", "attr_sig"
     )
 
 

@@ -1,0 +1,157 @@
+"""Relational 5-table persistence for EntityFrames (SURVEY.md S8/S9).
+
+The reference defines a canonical database decomposition of a frame
+(docs/design/interface.md:693-729): records / collections /
+merge_events / merge_groups / merge_group_records. This module writes
+exactly those five tables as parquet directories and loads them back
+into an EntityFrame with identical partitions at every threshold —
+Spark-native durable transport in place of the reference's Arrow IPC
+(interface.md:662-689).
+
+Representation note (documented deviation): the reference stores each
+merge event's full member bitmaps. At 10^12 records that is O(n) PER
+EVENT; this engine's dendrogram is the compact child->parent form (at
+most n-1 rows total), so each merge event persists its TWO group
+representatives. Partitions reconstruct identically because
+reconstruction is connected components over the representative edges
+— verified by the round-trip test.
+
+Layout: <path>/records, <path>/collections, <path>/merge_events,
+<path>/merge_groups, <path>/merge_group_records. merge tables are
+written partitioned by collection_id so loading one collection prunes
+the others' files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entityframe_spark.core.quantize import PRECISION_FACTOR
+from entityframe_spark.operators.collection import Collection
+from entityframe_spark.operators.entityframe import EntityFrame
+
+TABLES = ("records", "collections", "merge_events", "merge_groups", "merge_group_records")
+
+
+def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
+    """Write an EntityFrame as the 5-table relational decomposition
+    (interface.md:693-729)."""
+    spark = ef.records.sparkSession if ef.records is not None else None
+    if spark is None:
+        raise ValueError("EntityFrame has no records; nothing to save")
+
+    recs = ef.records.select(
+        F.col("record_id").alias("record_index"),
+        F.col("source").cast("string").alias("source"),
+        F.col("key").cast("string").alias("key"),
+    )
+    recs.write.mode(mode).parquet(f"{path}/records")
+
+    names = sorted(ef.collections)
+    coll_rows = [(i, n) for i, n in enumerate(names)]
+    spark.createDataFrame(
+        coll_rows, "collection_id int, name string"
+    ).write.mode(mode).parquet(f"{path}/collections")
+
+    events = None
+    for cid, name in coll_rows:
+        me = ef.collections[name].merge_edges.select(
+            F.lit(cid).alias("collection_id"),
+            (F.col("threshold_fp") / F.lit(float(PRECISION_FACTOR))).alias("threshold"),
+            F.col("child"),
+            F.col("parent"),
+        )
+        events = me if events is None else events.unionByName(me)
+    # merge_id: deterministic per (collection, threshold desc, child) —
+    # child appears exactly once per collection, so this is unique
+    events = events.select(
+        "*",
+        F.xxhash64("collection_id", "threshold", "child").alias("merge_id"),
+    ).localCheckpoint(eager=False)
+
+    events.select("merge_id", "collection_id", "threshold").write.mode(
+        mode
+    ).partitionBy("collection_id").parquet(f"{path}/merge_events")
+
+    # two groups per event: group 0 = absorbed (child) side, group 1 =
+    # surviving (parent) side
+    groups = events.select(
+        "merge_id",
+        "collection_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("group_no"),
+    ).select(
+        F.xxhash64("merge_id", "group_no").alias("group_id"),
+        "merge_id",
+        "group_no",
+        "collection_id",
+    )
+    groups.write.mode(mode).partitionBy("collection_id").parquet(
+        f"{path}/merge_groups"
+    )
+
+    group_records = events.select(
+        F.xxhash64("merge_id", F.lit(0)).alias("group_id"),
+        F.col("child").alias("record_index"),
+        "collection_id",
+    ).unionByName(
+        events.select(
+            F.xxhash64("merge_id", F.lit(1)).alias("group_id"),
+            F.col("parent").alias("record_index"),
+            "collection_id",
+        )
+    )
+    group_records.write.mode(mode).partitionBy("collection_id").parquet(
+        f"{path}/merge_group_records"
+    )
+
+
+def load_frame(spark: SparkSession, path: str) -> EntityFrame:
+    """Load a 5-table frame written by save_frame. Partitions at any
+    threshold are identical to the saved frame's (round-trip test in
+    tests/test_frame_store.py)."""
+    records = spark.read.parquet(f"{path}/records").select(
+        F.col("record_index").alias("record_id"),
+        "source",
+        "key",
+    )
+    collections = spark.read.parquet(f"{path}/collections")
+    events = spark.read.parquet(f"{path}/merge_events")
+    groups = spark.read.parquet(f"{path}/merge_groups")
+    group_records = spark.read.parquet(f"{path}/merge_group_records")
+
+    # re-join the normalised tables back to child->parent merge edges:
+    # group_no 0 holds the child rep, group_no 1 the parent rep
+    sides = (
+        groups.join(group_records.drop("collection_id"), "group_id")
+        .groupBy("merge_id", "collection_id")
+        .agg(
+            F.max(F.when(F.col("group_no") == 0, F.col("record_index"))).alias("child"),
+            F.max(F.when(F.col("group_no") == 1, F.col("record_index"))).alias(
+                "parent"
+            ),
+        )
+    )
+    me_all = events.drop("collection_id").join(sides, "merge_id").select(
+        "collection_id",
+        F.round(F.col("threshold") * PRECISION_FACTOR).cast("long").alias(
+            "threshold_fp"
+        ),
+        "child",
+        "parent",
+    )
+    me_all = me_all.localCheckpoint(eager=False)
+
+    ef = EntityFrame()
+    recs_cp = records.localCheckpoint(eager=False)
+    ef.records = recs_cp
+    for row in collections.orderBy("collection_id").collect():
+        me = me_all.where(F.col("collection_id") == row["collection_id"]).drop(
+            "collection_id"
+        )
+        coll = Collection(recs_cp, me)
+        # collections already share the frame record space: register
+        # directly (no assimilation join needed)
+        coll.records = ef.records
+        ef.collections[row["name"]] = coll
+    return ef

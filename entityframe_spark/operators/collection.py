@@ -125,6 +125,19 @@ class Collection:
             ).dropDuplicates(["record_id"])
         return cls(records, me)
 
+    # -- record-space management --------------------------------------------
+
+    def rebind_records(self, records: DataFrame) -> None:
+        """Point this collection at a (grown) shared record space — the
+        Spark analogue of the reference's append-only DataContext
+        gaining records: existing hierarchies see them as isolates.
+        Invalidates the partition cache (old partitions lack the new
+        singletons)."""
+        for cached in self._cache.values():
+            cached.unpersist()
+        self._cache.clear()
+        self.records = records
+
     # -- queries -----------------------------------------------------------
 
     def at(self, threshold: float) -> DataFrame:

@@ -52,15 +52,165 @@ def col(name: str) -> ColExpression:
 
 
 class EntityFrame:
-    """Named collections sharing one record space; in Spark simply a
-    dict of Collections (SURVEY.md §1.1 EntityFrame row)."""
+    """Named collections sharing one record space (SURVEY.md §1.1).
+
+    ``self.records`` is the frame's shared record space — the Spark
+    analogue of the reference's append-only DataContext
+    (principles.md:"Contextual Ownership"). Collections whose record
+    spaces differ are ASSIMILATED on add: ids are translated onto the
+    frame space by (source, key) identity and unseen records are
+    appended with fresh dense ids (algorithms.md:565-614).
+    """
 
     def __init__(self) -> None:
         self.collections: dict[str, Collection] = {}
+        self.records: DataFrame | None = None
+
+    # -- record ingestion (S6) ----------------------------------------------
+
+    @classmethod
+    def from_records(
+        cls,
+        source_name: str,
+        data,
+        key_column: str | None = None,
+        attr_columns: list[str] | None = None,
+        spark=None,
+    ) -> "EntityFrame":
+        """S6: create a frame from a table of records
+        (interface.md:81-98). ``data`` may be a Spark DataFrame, a
+        pandas DataFrame, or a list of dicts (converted via
+        createDataFrame — small-input convenience only).
+
+        key_column: unique key within the source (auto-generated dense
+        ids when omitted). attr_columns: optional columns folded into a
+        map<string,string> attrs column that participates in record
+        identity (S2, data_context.rs:47-78).
+        """
+        from entityframe_spark.core.records import (
+            intern_records,
+            intern_records_with_attributes,
+        )
+
+        if not isinstance(data, DataFrame):
+            if spark is None:
+                raise ValueError("pass spark= when data is not a Spark DataFrame")
+            data = spark.createDataFrame(data)
+        if key_column is None:
+            # auto-generate keys from a deterministic hash of the row
+            data = data.withColumn(
+                "_auto_key", F.xxhash64(*[F.col(c) for c in data.columns]).cast("string")
+            )
+            key_column = "_auto_key"
+        df = data.withColumn("_source", F.lit(source_name))
+        ef = cls()
+        if attr_columns:
+            attrs = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in attr_columns]),
+                F.array(*[F.col(c).cast("string") for c in attr_columns]),
+            )
+            ef.records = intern_records_with_attributes(
+                df.withColumn("_attrs", attrs), "_source", key_column, "_attrs"
+            ).localCheckpoint(eager=False)
+        else:
+            ef.records = intern_records(df, "_source", key_column).localCheckpoint(
+                eager=False
+            )
+        return ef
+
+    # -- collection management ----------------------------------------------
 
     def add_collection(self, name: str, collection: Collection) -> "EntityFrame":
-        self.collections[name] = collection
+        """Add a collection, assimilating its record space into the
+        frame's if they differ (J2/U3, algorithms.md:565-614): ids are
+        translated by (source, key) identity; records the frame has
+        never seen are appended with fresh dense ids (so they become
+        isolates for every other collection).
+        """
+        if self.records is None:
+            # first collection: adopt its record space as the frame's
+            self.records = collection.records
+            self.collections[name] = collection
+            return self
+        if collection.records is self.records:
+            self.collections[name] = collection
+            return self
+        self.collections[name] = self._assimilate(collection)
+        # the frame space may have grown: every collection (old and new)
+        # must see the full space — appended records become isolates in
+        # hierarchies that never met them (reference DataContext
+        # semantics: records added later are singletons everywhere)
+        for coll in self.collections.values():
+            if coll.records is not self.records:
+                coll.rebind_records(self.records)
         return self
+
+    def _assimilate(self, collection: Collection) -> Collection:
+        """Translate a collection onto the frame record space.
+
+        O(k) join by identity + O(m) merge-edge rewrite — the Spark
+        expression of the reference's assimilate (algorithms.md:571-605):
+        two broadcast-able equi-joins instead of HashMap lookups.
+        Extends ``self.records`` with unseen records (dense ids after
+        the current max, ordered by (source, key) for determinism).
+        """
+        from entityframe_spark.core.records import dense_rank_ids
+
+        frame_recs = self.records.localCheckpoint(eager=False)
+        inc = collection.records.select("record_id", "source", "key")
+        mapped = inc.join(
+            frame_recs.select(
+                F.col("record_id").alias("new_id"), "source", "key"
+            ),
+            ["source", "key"],
+            "left",
+        ).localCheckpoint(eager=False)
+        unseen = mapped.where(F.col("new_id").isNull()).select("source", "key")
+        max_row = frame_recs.agg(F.max("record_id").alias("m")).collect()[0]
+        next_id = int(max_row["m"]) + 1 if max_row["m"] is not None else 0
+        appended = (
+            dense_rank_ids(unseen, ["source", "key"], offset=next_id)
+            if unseen.limit(1).count()
+            else None
+        )
+        if appended is not None:
+            appended = appended.select("record_id", "source", "key").localCheckpoint(
+                eager=False
+            )
+            self.records = frame_recs.select("record_id", "source", "key").unionByName(
+                appended
+            ).localCheckpoint(eager=False)
+            translation = mapped.where(F.col("new_id").isNotNull()).select(
+                F.col("record_id").alias("old_id"), F.col("new_id")
+            ).unionByName(
+                inc.join(
+                    appended.select(F.col("record_id").alias("new_id"), "source", "key"),
+                    ["source", "key"],
+                ).select(F.col("record_id").alias("old_id"), "new_id")
+            )
+        else:
+            self.records = frame_recs
+            translation = mapped.select(
+                F.col("record_id").alias("old_id"), F.col("new_id")
+            )
+        translation = translation.localCheckpoint(eager=False)
+        me = collection.merge_edges
+        new_me = (
+            me.join(
+                translation.withColumnsRenamed({"old_id": "child", "new_id": "_nc"}),
+                "child",
+            )
+            .join(
+                translation.withColumnsRenamed({"old_id": "parent", "new_id": "_np"}),
+                "parent",
+            )
+            .select(
+                "threshold_fp",
+                F.col("_nc").alias("child"),
+                F.col("_np").alias("parent"),
+            )
+        )
+        return Collection(self.records, new_me)
 
     def add_collection_from_edges(self, name: str, edges, **kw) -> "EntityFrame":
         spark_or_df = edges if isinstance(edges, DataFrame) else kw.pop("spark")
@@ -92,7 +242,8 @@ class EntityFrame:
             return self._analyse_single(expressions[0], metrics)
         if len(expressions) == 2:
             return self._analyse_pair(expressions[0], expressions[1], metrics)
-        raise NotImplementedError("analyse supports 1 or 2 expressions")
+        rows = self._nway_df(list(expressions), metrics).collect()
+        return [r.asDict() for r in rows]
 
     # American spelling alias, like the reference
     analyze = analyse
@@ -105,12 +256,22 @@ class EntityFrame:
             return self._single_df(expressions[0], metrics)
         if len(expressions) == 2:
             return self._pair_df(expressions[0], expressions[1], metrics)
-        raise NotImplementedError("analyse supports 1 or 2 expressions")
+        return self._nway_df(list(expressions), metrics)
 
     def _grid_memberships(self, expr: ColExpression, alias: str) -> DataFrame:
         coll = self.collections[expr.name]
         fps = [threshold_to_fp(t) for t in expr.thresholds]
-        mem = coll.memberships_for_grid(list(expr.thresholds))
+        if self.records is not None and self.records is not coll.records:
+            # evaluate over the FRAME's shared record space: records the
+            # collection never saw are isolates (singletons), matching
+            # the reference's shared-DataContext semantics
+            from entityframe_spark.operators import hierarchy
+
+            mem = hierarchy.memberships_for_grid(
+                coll.merge_edges, self.records, fps
+            )
+        else:
+            mem = coll.memberships_for_grid(list(expr.thresholds))
         return (
             mem.where(F.col("threshold_fp").isin(fps))
             .select(
@@ -176,6 +337,86 @@ class EntityFrame:
             (F.col("key_tb") / F.lit(float(PRECISION_FACTOR))).alias(name_b),
             *[F.col(m) for m in wanted],
         ).orderBy(name_a, name_b)
+
+    def _nway_df(self, exprs: list[ColExpression], metric_names) -> DataFrame:
+        """3+ expressions: cross-collection consensus analysis (A15,
+        principles.md:352-362). Output rows are the cartesian product
+        of all threshold grids; each metric is the MEAN over all
+        unordered collection pairs at that grid point — "how much do
+        these k cuts agree". Keys follow the uniform contract:
+        "{collection}_threshold" per expression + plain metric names.
+
+        Executed as one union of per-pair metric frames + one grouped
+        average — each pair reuses the single-shuffle contingency path.
+        """
+        wanted = metric_names or ["f1", "precision", "recall", "ari", "nmi", "agreement"]
+        names = []
+        for i, e in enumerate(exprs):
+            nm = f"{e.name}_threshold"
+            while nm in names:
+                nm += "_2"
+            names.append(nm)
+        mems = [self._grid_memberships(e, f"c{i}") for i, e in enumerate(exprs)]
+
+        pair_frames = []
+        for i in range(len(exprs)):
+            for j in range(i + 1, len(exprs)):
+                ma = mems[i].select(
+                    F.col(f"t_c{i}").alias("key_ta"),
+                    "record_id",
+                    F.col(f"cluster_c{i}").alias("cluster_a"),
+                )
+                mb = mems[j].select(
+                    F.col(f"t_c{j}").alias("key_tb"),
+                    "record_id",
+                    F.col(f"cluster_c{j}").alias("cluster_b"),
+                )
+                cells = (
+                    ma.join(mb, "record_id")
+                    .groupBy("key_ta", "key_tb", "cluster_a", "cluster_b")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                res = M.metrics_from_cells(cells, keys=["key_ta", "key_tb"])
+                pair_frames.append(
+                    res.select(
+                        F.lit(i).alias("_i"),
+                        F.lit(j).alias("_j"),
+                        F.col("key_ta"),
+                        F.col("key_tb"),
+                        *[F.col(mn) for mn in wanted],
+                    )
+                )
+        allpairs = pair_frames[0]
+        for pf in pair_frames[1:]:
+            allpairs = allpairs.unionByName(pf)
+
+        # expand each pair row onto the full grid of the OTHER
+        # expressions (their thresholds don't affect this pair's value),
+        # then average per full grid point
+        grids = [
+            allpairs.sparkSession.createDataFrame(
+                [(threshold_to_fp(t),) for t in e.thresholds], f"t{k} long"
+            )
+            for k, e in enumerate(exprs)
+        ]
+        expanded = allpairs
+        for k in range(len(exprs)):
+            expanded = expanded.crossJoin(F.broadcast(grids[k])).where(
+                (
+                    (F.col("_i") == k) & (F.col("key_ta") == F.col(f"t{k}"))
+                )
+                | ((F.col("_j") == k) & (F.col("key_tb") == F.col(f"t{k}")))
+                | ((F.col("_i") != k) & (F.col("_j") != k))
+            )
+        gcols = [f"t{k}" for k in range(len(exprs))]
+        out = expanded.groupBy(*gcols).agg(
+            *[F.round(F.avg(mn), 9).alias(mn) for mn in wanted]
+        )
+        sel = [
+            (F.col(f"t{k}") / F.lit(float(PRECISION_FACTOR))).alias(names[k])
+            for k in range(len(exprs))
+        ]
+        return out.select(*sel, *[F.col(mn) for mn in wanted]).orderBy(*names)
 
     def _analyse_single(self, expr, metric_names):
         rows = self._single_df(expr, metric_names).collect()

@@ -90,6 +90,69 @@ def _local_single_linkage(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+MERGE_EDGE_SIZED_SCHEMA = (
+    "threshold_fp long, child long, parent long, left_size long, right_size long"
+)
+
+
+def _local_single_linkage_sized(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Like _local_single_linkage but also emits the sizes of the two
+    clusters being merged (parent-rooted = left, child-rooted = right)
+    — the inputs for merge criticality |E_l| x |E_r| and information
+    content (principles.md:336-338, 368-372)."""
+    pdf = pdf.sort_values("w_fp", ascending=False, kind="mergesort")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    wfp = pdf["w_fp"].to_numpy(dtype=np.int64)
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+    size = np.ones(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows: list[tuple[int, int, int, int, int]] = []
+    for s, d, t in zip(src, dst, wfp):
+        rs, rd = find(idx[int(s)]), find(idx[int(d)])
+        if rs == rd:
+            continue
+        if nodes[rs] <= nodes[rd]:
+            keep, drop = rs, rd
+        else:
+            keep, drop = rd, rs
+        rows.append(
+            (int(t), int(nodes[drop]), int(nodes[keep]), int(size[keep]), int(size[drop]))
+        )
+        size[keep] += size[drop]
+        parent[drop] = keep
+    return pd.DataFrame(
+        rows, columns=["threshold_fp", "child", "parent", "left_size", "right_size"]
+    )
+
+
+def build_merge_edges_sized(
+    edges_fp: DataFrame,
+    max_component_edges: int | None = 10_000_000,
+) -> DataFrame:
+    """build_merge_edges variant carrying (left_size, right_size) per
+    merge event — same one-CC + per-component Arrow sweep plan."""
+    comps = connected_components(edges_fp, "src", "dst")
+    tagged = edges_fp.join(
+        comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
+        "src",
+    ).select("_comp", "src", "dst", "w_fp")
+    return tagged.groupBy("_comp").applyInPandas(
+        lambda pdf: _local_single_linkage_sized(pdf), schema=MERGE_EDGE_SIZED_SCHEMA
+    )
+
+
 def build_merge_edges(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,

@@ -29,6 +29,7 @@ EVAL_METRICS = [
     "v_measure",
     "bcubed_precision",
     "bcubed_recall",
+    "agreement",
 ]
 STAT_METRICS = ["entity_count", "entropy"]
 
@@ -179,6 +180,12 @@ def metrics_from_cells(cells: DataFrame, keys: list[str] | None = None) -> DataF
         2 * homogeneity * completeness / (homogeneity + completeness),
     ).otherwise(F.lit(0.0))
 
+    # A15 pairwise agreement (principles.md:357-359): fraction of record
+    # pairs whose same-entity status matches across both partitions —
+    # (TP + TN) / C(N,2) with TN = pairs - PP - AP + TP
+    tn = n_pairs - pp - ap + tp
+    agreement = F.when(n_pairs > 0, (tp + tn) / n_pairs).otherwise(F.lit(1.0))
+
     return joined.select(
         *keys,
         F.round(precision, 9).alias("precision"),
@@ -189,6 +196,7 @@ def metrics_from_cells(cells: DataFrame, keys: list[str] | None = None) -> DataF
         F.round(v_measure, 9).alias("v_measure"),
         F.round(F.col("bc_p") / F.col("n_tot"), 9).alias("bcubed_precision"),
         F.round(F.col("bc_r") / F.col("n_tot"), 9).alias("bcubed_recall"),
+        F.round(agreement, 9).alias("agreement"),
     )
 
 

