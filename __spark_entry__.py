@@ -554,6 +554,58 @@ def q_information_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["i_cum", "info_loss"])
 
 
+def q_entity_set_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+: per-entity best-match Jaccard/Dice/overlap between the
+    two customer partitions (principles.md:327-331)."""
+    from entityframe_spark.operators.metrics import entity_set_metrics
+
+    a, b = _customer_partitions(spark, sf_dir)
+    return _round6(entity_set_metrics(a, b), ["jaccard", "dice", "overlap"])
+
+
+def q_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection.sweep surface: per-threshold entity_count + entropy
+    over the supplier hierarchy grid (one dendrogram pass)."""
+    from entityframe_spark.operators.collection import Collection
+
+    edges = _supplier_edges(spark, sf_dir)
+    coll = Collection.from_edges(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+            (F.col("w_fp") / 1_000_000.0).alias("weight"),
+        )
+    )
+    out = coll.sweep(0.2, 0.8, 0.3)
+    return _round6(out, ["threshold", "entropy"])
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates on a documents slice (rows-only
+    check: crc32-seeded simhash is not expressible in DuckDB SQL;
+    semantics pytest-verified in tests/test_similarity.py)."""
+    from entityframe_spark.pipeline.dedup import simhash_candidates
+
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash_candidates(d).where(F.col("hamming") <= 6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic synthetic media -> binary
+    payloads -> mapInPandas feature extraction (decode stubbed; rows-
+    only check — the byte-stats features are pytest-verified)."""
+    from entityframe_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=48)
+    out = extract_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 3).alias("f0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "records_intern": q_records_intern,
@@ -583,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_threshold": q_consensus_threshold,
         "merge_criticality": q_merge_criticality,
         "information_loss": q_information_loss,
+        "simhash_neardup": q_simhash_candidates,
+        "multimodal_features": q_multimodal_features,
+        "entity_set_metrics": q_entity_set_metrics,
+        "collection_sweep": q_collection_sweep,
     }
 
 
@@ -804,6 +860,42 @@ def oracle_sql() -> dict[str, str]:
       SELECT threshold_fp, f1 FROM ({_SWEEP_METRICS_ORACLE})
       ORDER BY f1 DESC, threshold_fp LIMIT 1
     """
+
+    sqls["entity_set_metrics"] = """
+      WITH a AS (SELECT c_custkey AS record_id, c_mktsegment AS cluster_a FROM customer),
+           b AS (SELECT c_custkey AS record_id, CAST(c_nationkey % 5 AS BIGINT) AS cluster_b FROM customer),
+           cells AS (SELECT cluster_a, cluster_b, COUNT(*) AS n FROM a JOIN b USING (record_id) GROUP BY 1,2),
+           ma AS (SELECT cluster_a, SUM(n) AS a_i FROM cells GROUP BY 1),
+           mb AS (SELECT cluster_b, SUM(n) AS b_j FROM cells GROUP BY 1),
+           j AS (SELECT c.cluster_a, c.cluster_b,
+                        c.n::DOUBLE / (ma.a_i + mb.b_j - c.n) AS jac,
+                        2 * c.n::DOUBLE / (ma.a_i + mb.b_j) AS dice,
+                        c.n::DOUBLE / least(ma.a_i, mb.b_j) AS ovl
+                 FROM cells c JOIN ma USING (cluster_a) JOIN mb USING (cluster_b)),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_a
+                                              ORDER BY jac DESC, cluster_b) AS rn FROM j)
+      SELECT cluster_a, cluster_b AS best_cluster_b,
+             CAST(round(jac, 6) AS DOUBLE) AS jaccard,
+             CAST(round(dice, 6) AS DOUBLE) AS dice,
+             CAST(round(ovl, 6) AS DOUBLE) AS overlap
+      FROM r WHERE rn = 1
+    """
+
+    sqls["collection_sweep"] = " UNION ALL ".join(
+        "SELECT * FROM ("
+        + _cc_oracle_sql(
+            t,
+            f"""
+            SELECT CAST({t} / 1000000.0 AS DOUBLE) AS threshold,
+                   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS entity_count,
+                   CAST(round(SUM(-(sz::DOUBLE / n_tot) * ln(sz::DOUBLE / n_tot)), 6) AS DOUBLE) AS entropy
+            FROM (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1)
+            CROSS JOIN (SELECT COUNT(*) AS n_tot FROM comp)
+            """,
+        )
+        + ")"
+        for t in (200_000, 500_000, 800_000)
+    )
 
     return sqls
 

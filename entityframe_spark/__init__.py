@@ -22,7 +22,7 @@ no RDDs, no per-row Python UDFs in hot paths.
 from entityframe_spark.core.quantize import quantize_weights, threshold_to_fp
 from entityframe_spark.operators.components import connected_components
 from entityframe_spark.operators.collection import Collection
-from entityframe_spark.operators.entityframe import EntityFrame
+from entityframe_spark.operators.entityframe import EntityFrame, col
 
 __all__ = [
     "quantize_weights",
@@ -30,6 +30,7 @@ __all__ = [
     "connected_components",
     "Collection",
     "EntityFrame",
+    "col",
 ]
 
 __version__ = "0.1.0"

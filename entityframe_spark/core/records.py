@@ -92,6 +92,21 @@ def dense_rank_ids(
     )
 
 
+def get_record(records: DataFrame, record_id: int) -> DataFrame:
+    """S3: point lookup by id (reference DataContext.get_record,
+    data_context.rs:80-86). A trivial filter, exposed for API parity;
+    at scale this is a partition-pruned scan when records are written
+    bucketed/sorted by record_id."""
+    return records.where(F.col("record_id") == int(record_id))
+
+
+def records_by_source(records: DataFrame, source: str) -> DataFrame:
+    """S4: scan records of one source (reference source_index,
+    data_context.rs:88-94). Filter pushdown reaches the parquet scan
+    when records are persisted partitioned by source."""
+    return records.where(F.col("source") == F.lit(source))
+
+
 def attrs_signature(attrs_col) -> "F.Column":
     """Deterministic canonical string for a map<string,string> attrs
     column: JSON of the entries sorted by key. Two records with the

@@ -15,8 +15,10 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 try:  # blake3 is an optional extra in the reference too (Cargo.toml)
     import blake3 as _blake3
@@ -57,7 +59,10 @@ def entity_hashes(
         elif algo == "blake3":
             if _blake3 is None:
                 raise NotImplementedError(
-                    "blake3 wheel not installed in this environment"
+                    "blake3 wheel not installed in this environment; "
+                    "use algo='blake2b' (stdlib hashlib, same 256-bit "
+                    "output, also a BLAKE-family hash) as the documented "
+                    "stand-in"
                 )
             import pandas as pd
             from pyspark.sql.types import StringType
@@ -67,6 +72,24 @@ def entity_hashes(
                 return s.map(lambda x: _blake3.blake3(x.encode()).hexdigest())
 
             out = out.withColumn("blake3", _b3(canon))
+        elif algo == "blake2b":
+            # documented fallback for environments without the blake3
+            # wheel (interface.md:547-552 lists blake3; blake2b is the
+            # stdlib BLAKE-family equivalent, 256-bit digest here)
+            import hashlib
+
+            import pandas as pd
+            from pyspark.sql.types import StringType
+
+            @F.pandas_udf(StringType())
+            def _b2(s: pd.Series) -> pd.Series:
+                return s.map(
+                    lambda x: hashlib.blake2b(
+                        x.encode(), digest_size=32
+                    ).hexdigest()
+                )
+
+            out = out.withColumn("blake2b", _b2(canon))
         else:
             raise ValueError(f"unknown hash algorithm: {algo}")
     return out

