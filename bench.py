@@ -83,14 +83,21 @@ def main() -> None:
         )
         n_pairs = pairs.count()
         t0 = time.time()
-        # no checkpoint: re-deriving scored for clustering is cheaper
-        # than materialising every pair row in the block store. The
-        # timed action is a checksum over EVERY output column — a bare
-        # count() lets Catalyst prune the feature expressions and times
-        # only the join (measured 30x too optimistic).
-        scored = score_pairs(attach_pair_texts(pairs, collapsed))
-        scored.agg(F.sum(F.xxhash64(*scored.columns))).collect()
+        # ONE evaluation: score_pairs is a linear plan ending in narrow
+        # rows (ids + block_key + 6 doubles); the eager localCheckpoint
+        # materialises every feature column (no Catalyst pruning — a
+        # bare count() was measured 30x too optimistic) and the
+        # checksum + clustering below reuse the checkpointed blocks
+        # instead of re-deriving the attach+score subtree.
+        scored = score_pairs(attach_pair_texts(pairs, collapsed)).localCheckpoint(
+            eager=True
+        )
         score_wall = time.time() - t0
+        # checksum in decimal(38,0): xxhash64 sums overflow long under
+        # ANSI (the BENCH_r02 crash)
+        scored.agg(
+            F.sum(F.xxhash64(*scored.columns).cast("decimal(38,0)"))
+        ).collect()
         extras["candidate_pairs"] = n_pairs
         extras["pairs_per_sec"] = round(n_pairs / max(score_wall, 1e-9), 1)
         clusters = full_partition(collapsed, cluster_edges(scored, 0.5))

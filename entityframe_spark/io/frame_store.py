@@ -41,11 +41,16 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
     if spark is None:
         raise ValueError("EntityFrame has no records; nothing to save")
 
-    recs = ef.records.select(
+    rec_cols = [
         F.col("record_id").alias("record_index"),
         F.col("source").cast("string").alias("source"),
         F.col("key").cast("string").alias("key"),
-    )
+    ]
+    if "attr_sig" in ef.records.columns:
+        # attribute-identity frames (S2): attrs must round-trip or two
+        # records with the same (source, key) become indistinguishable
+        rec_cols += [F.col("attrs"), F.col("attr_sig")]
+    recs = ef.records.select(*rec_cols)
     recs.write.mode(mode).parquet(f"{path}/records")
 
     names = sorted(ef.collections)
@@ -63,11 +68,20 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
             F.col("parent"),
         )
         events = me if events is None else events.unionByName(me)
-    # merge_id: deterministic per (collection, threshold desc, child) —
-    # child appears exactly once per collection, so this is unique
+    # merge_id: the NATURAL composite key (collection_id, threshold_fp,
+    # child) rendered as a string — child appears exactly once per
+    # collection, so this is unique BY CONSTRUCTION. (A 64-bit hash id
+    # hits birthday collisions around ~5e9 events — real at the 10^12
+    # -record target — and a collision silently cross-wires two merge
+    # events at load time.)
     events = events.select(
         "*",
-        F.xxhash64("collection_id", "threshold", "child").alias("merge_id"),
+        F.concat_ws(
+            ":",
+            F.col("collection_id"),
+            F.round(F.col("threshold") * PRECISION_FACTOR).cast("long"),
+            F.col("child"),
+        ).alias("merge_id"),
     ).localCheckpoint(eager=False)
 
     events.select("merge_id", "collection_id", "threshold").write.mode(
@@ -75,13 +89,14 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
     ).partitionBy("collection_id").parquet(f"{path}/merge_events")
 
     # two groups per event: group 0 = absorbed (child) side, group 1 =
-    # surviving (parent) side
+    # surviving (parent) side. group_id = merge_id ":" group_no —
+    # composite, collision-free (see merge_id note above).
     groups = events.select(
         "merge_id",
         "collection_id",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("group_no"),
     ).select(
-        F.xxhash64("merge_id", "group_no").alias("group_id"),
+        F.concat_ws(":", "merge_id", "group_no").alias("group_id"),
         "merge_id",
         "group_no",
         "collection_id",
@@ -91,12 +106,12 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
     )
 
     group_records = events.select(
-        F.xxhash64("merge_id", F.lit(0)).alias("group_id"),
+        F.concat_ws(":", "merge_id", F.lit(0)).alias("group_id"),
         F.col("child").alias("record_index"),
         "collection_id",
     ).unionByName(
         events.select(
-            F.xxhash64("merge_id", F.lit(1)).alias("group_id"),
+            F.concat_ws(":", "merge_id", F.lit(1)).alias("group_id"),
             F.col("parent").alias("record_index"),
             "collection_id",
         )
@@ -110,11 +125,11 @@ def load_frame(spark: SparkSession, path: str) -> EntityFrame:
     """Load a 5-table frame written by save_frame. Partitions at any
     threshold are identical to the saved frame's (round-trip test in
     tests/test_frame_store.py)."""
-    records = spark.read.parquet(f"{path}/records").select(
-        F.col("record_index").alias("record_id"),
-        "source",
-        "key",
-    )
+    raw_records = spark.read.parquet(f"{path}/records")
+    rec_cols = [F.col("record_index").alias("record_id"), F.col("source"), F.col("key")]
+    if "attr_sig" in raw_records.columns:
+        rec_cols += [F.col("attrs"), F.col("attr_sig")]
+    records = raw_records.select(*rec_cols)
     collections = spark.read.parquet(f"{path}/collections")
     events = spark.read.parquet(f"{path}/merge_events")
     groups = spark.read.parquet(f"{path}/merge_groups")

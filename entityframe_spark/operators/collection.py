@@ -34,15 +34,28 @@ class Collection:
 
     ``records``: DataFrame(record_id long, source string, key string)
     ``merge_edges``: DataFrame(threshold_fp long, child long, parent long)
+    ``base_ids``: DataFrame(record_id long) — the collection's OWN
+    record space (the reference hierarchy's ``get_all_record_indices``,
+    algorithms.md:621-640). ``records`` may later be rebound to a
+    grown frame space, but base_ids stays: it is what compact() treats
+    as live for this collection, isolates included.
     """
 
-    def __init__(self, records: DataFrame, merge_edges: DataFrame):
+    def __init__(
+        self,
+        records: DataFrame,
+        merge_edges: DataFrame,
+        base_ids: DataFrame | None = None,
+    ):
         # localCheckpoint (lazy) rather than persist: the dendrogram is
         # re-joined into many later plans; keeping its full build lineage
         # in every consumer makes Catalyst analysis cost explode on the
         # self-joins (measured: minutes of pure planning at toy scale).
         self.records = records.localCheckpoint(eager=False)
         self.merge_edges = merge_edges.localCheckpoint(eager=False)
+        self.base_ids = (
+            base_ids if base_ids is not None else self.records.select("record_id")
+        ).localCheckpoint(eager=False)
         # true LRU (move-to-end on hit, evict oldest), matching the
         # reference's partition cache semantics (builder.rs:41,264-273)
         self._cache: OrderedDict[int, DataFrame] = OrderedDict()
@@ -176,6 +189,33 @@ class Collection:
 
     def entity_count(self, threshold: float) -> int:
         return self.at(threshold).select("cluster_id").distinct().count()
+
+    # -- membership predicates (P5, partition.rs:69-80) ---------------------
+
+    def contains_record(self, record_id: int, threshold: float) -> bool:
+        """P5: does any entity at ``threshold`` contain this record?
+        (reference Partition.contains_record, partition.rs:69-74).
+        Partitions cover the whole record space, so this is a record-
+        space membership test; the partition filter keeps the
+        semantics exact if the space and hierarchy ever diverge."""
+        return (
+            self.at(threshold).where(F.col("record_id") == int(record_id)).limit(1).count()
+            > 0
+        )
+
+    def find_entity_for_record(self, record_id: int, threshold: float) -> int | None:
+        """P5: the entity (cluster_id) containing ``record_id`` at
+        ``threshold``, or None (reference find_entity_for_record,
+        partition.rs:76-80). At scale this is a partition-pruned point
+        lookup when the partition is persisted bucketed by record_id."""
+        rows = (
+            self.at(threshold)
+            .where(F.col("record_id") == int(record_id))
+            .select("cluster_id")
+            .limit(1)
+            .collect()
+        )
+        return int(rows[0]["cluster_id"]) if rows else None
 
     def memberships_for_grid(self, thresholds: list[float]) -> DataFrame:
         """(threshold_fp, record_id, cluster_id) for every grid point in

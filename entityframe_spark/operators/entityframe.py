@@ -97,9 +97,14 @@ class EntityFrame:
                 raise ValueError("pass spark= when data is not a Spark DataFrame")
             data = spark.createDataFrame(data)
         if key_column is None:
-            # auto-generate keys from a deterministic hash of the row
+            # auto-generate PER-ROW keys: every input row stays a
+            # distinct record (reference auto-key semantics), unlike a
+            # row-content hash which would collapse duplicate rows.
+            # monotonically_increasing_id is partition-deterministic and
+            # gets pinned by the localCheckpoint taken right below.
             data = data.withColumn(
-                "_auto_key", F.xxhash64(*[F.col(c) for c in data.columns]).cast("string")
+                "_auto_key",
+                F.format_string("%020d", F.monotonically_increasing_id()),
             )
             key_column = "_auto_key"
         df = data.withColumn("_source", F.lit(source_name))
@@ -155,25 +160,30 @@ class EntityFrame:
 
     def compact(self, reindex: bool = False) -> "EntityFrame":
         """U4 garbage compaction (algorithms.md:621-668): drop records
-        no surviving collection references. Live = union of merge-edge
-        endpoints across current collections (the reference's live
-        bitmap = union of per-hierarchy indices); everything else —
-        typically records that arrived with since-dropped collections —
-        is reclaimed with one left-semi join.
+        no surviving collection references. Live = union of each
+        surviving collection's OWN record space (``base_ids`` — the
+        reference's per-hierarchy ``get_all_record_indices``, which
+        includes edge-less isolates), NOT merge-edge endpoints;
+        everything else — records that arrived with since-dropped
+        collections — is reclaimed with one left-semi join.
+
+        Pinned semantics: a record that entered the frame only via a
+        since-dropped collection IS reclaimed, even though surviving
+        collections transiently showed it as a singleton while it was
+        in the shared space (reference shared-DataContext behaviour).
 
         reindex=True additionally reassigns dense ids over the
         surviving records (the reference's translation-map rewrite):
-        every collection's merge edges are translated and rebound.
-        Default False keeps ids stable (cheaper; ids stay sparse).
+        every collection's merge edges and base_ids are translated and
+        rebound. Default False keeps ids stable (cheaper; ids stay
+        sparse).
         """
         if self.records is None or not self.collections:
             return self
         live = None
         for coll in self.collections.values():
-            ep = coll.merge_edges.select(F.col("child").alias("record_id")).unionAll(
-                coll.merge_edges.select(F.col("parent").alias("record_id"))
-            )
-            live = ep if live is None else live.unionAll(ep)
+            b = coll.base_ids.select("record_id")
+            live = b if live is None else live.unionAll(b)
         live = live.dropDuplicates(["record_id"])
         self.records = self.records.join(live, "record_id", "left_semi").localCheckpoint(
             eager=False
@@ -181,9 +191,12 @@ class EntityFrame:
         if reindex:
             from entityframe_spark.core.records import dense_rank_ids
 
+            order_cols = ["source", "key"] + (
+                ["attr_sig"] if "attr_sig" in self.records.columns else []
+            )
             remapped = dense_rank_ids(
                 self.records.withColumnRenamed("record_id", "_old"),
-                ["source", "key"],
+                order_cols,
             ).localCheckpoint(eager=False)
             trans = remapped.select(
                 F.col("_old").alias("old_id"), F.col("record_id").alias("new_id")
@@ -205,7 +218,12 @@ class EntityFrame:
                         F.col("_np").alias("parent"),
                     )
                 )
-                self.collections[name] = Collection(self.records, me)
+                nb = (
+                    coll.base_ids.withColumnRenamed("record_id", "old_id")
+                    .join(trans, "old_id")
+                    .select(F.col("new_id").alias("record_id"))
+                )
+                self.collections[name] = Collection(self.records, me, base_ids=nb)
         else:
             for coll in self.collections.values():
                 coll.rebind_records(self.records)
@@ -218,40 +236,68 @@ class EntityFrame:
         expression of the reference's assimilate (algorithms.md:571-605):
         two broadcast-able equi-joins instead of HashMap lookups.
         Extends ``self.records`` with unseen records (dense ids after
-        the current max, ordered by (source, key) for determinism).
+        the current max, ordered by the identity columns for
+        determinism).
+
+        Identity is (source, key) — PLUS attr_sig when either side
+        carries attribute-identity records (S2, data_context.rs:47-78):
+        two records with the same (source, key) but different attrs are
+        DIFFERENT records and must not be conflated by assimilation.
+        Attr-less records normalise to attr_sig='{}' so mixed frames
+        join correctly, and attrs columns survive onto the frame space.
         """
         from entityframe_spark.core.records import dense_rank_ids
 
-        frame_recs = self.records.localCheckpoint(eager=False)
-        inc = collection.records.select("record_id", "source", "key")
+        use_attrs = (
+            "attr_sig" in self.records.columns
+            or "attr_sig" in collection.records.columns
+        )
+
+        def _norm(df: DataFrame) -> DataFrame:
+            if "attr_sig" not in df.columns:
+                df = df.withColumn(
+                    "attrs", F.lit(None).cast("map<string,string>")
+                ).withColumn("attr_sig", F.lit("{}"))
+            return df
+
+        id_cols = ["source", "key"] + (["attr_sig"] if use_attrs else [])
+        rec_cols = ["record_id", "source", "key"] + (
+            ["attrs", "attr_sig"] if use_attrs else []
+        )
+        frame_recs = (
+            (_norm(self.records) if use_attrs else self.records)
+            .select(*rec_cols)
+            .localCheckpoint(eager=False)
+        )
+        inc = (_norm(collection.records) if use_attrs else collection.records).select(
+            *rec_cols
+        )
         mapped = inc.join(
-            frame_recs.select(
-                F.col("record_id").alias("new_id"), "source", "key"
-            ),
-            ["source", "key"],
+            frame_recs.select(F.col("record_id").alias("new_id"), *id_cols),
+            id_cols,
             "left",
         ).localCheckpoint(eager=False)
-        unseen = mapped.where(F.col("new_id").isNull()).select("source", "key")
+        unseen = mapped.where(F.col("new_id").isNull()).select(
+            *[c for c in rec_cols if c != "record_id"]
+        )
         max_row = frame_recs.agg(F.max("record_id").alias("m")).collect()[0]
         next_id = int(max_row["m"]) + 1 if max_row["m"] is not None else 0
         appended = (
-            dense_rank_ids(unseen, ["source", "key"], offset=next_id)
+            dense_rank_ids(unseen, id_cols, offset=next_id)
             if unseen.limit(1).count()
             else None
         )
         if appended is not None:
-            appended = appended.select("record_id", "source", "key").localCheckpoint(
+            appended = appended.select(*rec_cols).localCheckpoint(eager=False)
+            self.records = frame_recs.unionByName(appended).localCheckpoint(
                 eager=False
             )
-            self.records = frame_recs.select("record_id", "source", "key").unionByName(
-                appended
-            ).localCheckpoint(eager=False)
             translation = mapped.where(F.col("new_id").isNotNull()).select(
                 F.col("record_id").alias("old_id"), F.col("new_id")
             ).unionByName(
                 inc.join(
-                    appended.select(F.col("record_id").alias("new_id"), "source", "key"),
-                    ["source", "key"],
+                    appended.select(F.col("record_id").alias("new_id"), *id_cols),
+                    id_cols,
                 ).select(F.col("record_id").alias("old_id"), "new_id")
             )
         else:
@@ -276,7 +322,13 @@ class EntityFrame:
                 F.col("_np").alias("parent"),
             )
         )
-        return Collection(self.records, new_me)
+        return Collection(
+            self.records,
+            new_me,
+            base_ids=translation.select(
+                F.col("new_id").alias("record_id")
+            ).dropDuplicates(["record_id"]),
+        )
 
     def add_collection_from_edges(self, name: str, edges, **kw) -> "EntityFrame":
         spark_or_df = edges if isinstance(edges, DataFrame) else kw.pop("spark")

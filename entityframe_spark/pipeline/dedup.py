@@ -127,10 +127,17 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    max_band_size: int = 256,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit signature (guarantees recall for hamming distance
-    <= 3 by pigeonhole). Returns (left_id, right_id, hamming)."""
+    <= 3 by pigeonhole). Returns (left_id, right_id, hamming).
+
+    Hot bands (> max_band_size members) are DROPPED, exactly like
+    minhash_lsh_candidates: low-entropy corpora (empty / boilerplate
+    docs) share band values by the thousands and the band self-join
+    goes quadratic without the cap. True near-dups still collide in
+    another band w.h.p. (4 independent 16-bit bands)."""
     sim = make_simhash_udf()
     sigs = docs.select(
         F.col(id_col).alias("doc_id"), sim(F.col(text_col)).alias("simhash")
@@ -155,6 +162,12 @@ def simhash_candidates(
             )
         ).alias("band"),
     )
+    # consumed by the sizes agg + both join sides: evaluate once
+    bandkeys = bandkeys.localCheckpoint(eager=False)
+    bsizes = bandkeys.groupBy("band").agg(F.count(F.lit(1)).alias("_bsz"))
+    bandkeys = bandkeys.join(
+        bsizes.where(F.col("_bsz") <= max_band_size), "band"
+    ).select("doc_id", "simhash", "band")
     l, r = bandkeys.alias("l"), bandkeys.alias("r")
     pairs = (
         l.join(r, "band")

@@ -26,14 +26,19 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows: payload = seeded pseudo-random
-    bytes; metadata populated per kind."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media rows: payload byte j of media i is
+    (i*31 + j*7) % 256 — a closed-form pattern an independent SQL
+    oracle can recompute (unlike seeded PRNG bytes), so the whole
+    binary->mapInPandas->feature path is value-checkable end to end.
+    ``seed`` is kept for API compatibility; the pattern ignores it.
+    Metadata populated per kind."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
+        payload = bytes(
+            (i * 31 + j * 7) % 256 for j in range(64 + (i % 5) * 32)
+        )
         rows.append(
             (
                 i,

@@ -117,26 +117,31 @@ def score_pairs(
     """-> (left_id, right_id, block_key, <features>, weight).
     weight = convex combination of the features.
 
-    TWO BRANCHES joined on the pair key, on purpose:
+    ONE LINEAR PLAN in two projection stages separated by a NARROW
+    lazy localCheckpoint, on purpose:
 
-    - branch 1: every JVM feature (array intersects, levenshtein) —
-      pure codegen, never touches Python;
-    - branch 2: ids + the Jaro-Winkler pandas UDF over 128-char text
-      prefixes only.
+    - stage 1: every JVM feature (array intersects, levenshtein) plus
+      the two 128-char Jaro-Winkler input prefixes — pure codegen.
+      This is where the wide hashed-array columns die: the stage-1
+      output row is ids + block_key + 4 doubles + 2 short strings
+      (~300 B/row vs multi-KB pair rows).
+    - stage 2: the Jaro-Winkler pandas UDF over the narrow stage-1
+      rows only.
 
-    A single projection would make Catalyst's ExtractPythonUDFs place
-    ArrowEvalPython below it and stream the BIG hashed-array columns
-    through the Python workers as pass-through (measured:
-    anti-scaling). The previous fix — localCheckpoint between two
-    projections — avoided that but paid a block-store materialisation
-    of every pair row, which dominated the stage (measured 20-136s for
-    515k pairs vs <1s of actual feature compute). The equi-join keeps
-    both plans narrow for one cheap shuffle: measured 191k pairs/s
-    cold / 274k warm at 32 cores — ~10x the checkpointed form, ~50x
-    round 1's per-pair Python loop."""
+    Why the boundary: without it Catalyst collapses the projections
+    and ExtractPythonUDFs places ArrowEvalPython BELOW the combined
+    projection, streaming the BIG hashed-array columns through the
+    Python workers as pass-through (measured: anti-scaling). Round 2
+    instead split into two branches re-joined on the pair key — but
+    each branch re-evaluated the whole attach-join subtree, so the
+    expensive pairs⋈features join ran twice (three times counting
+    cluster_edges downstream) and bench q1 regressed to 176s. The
+    narrow boundary keeps ONE attach-join evaluation and a ~300 B/row
+    block-store write; throughput is measured by bench.py's
+    pairs_per_sec (see BENCH.md), not claimed here."""
     w = feature_weights or DEFAULT_WEIGHTS
     lt, rt = F.col("left_text"), F.col("right_text")
-    jvm_scored = pairs_with_texts.select(
+    narrow = pairs_with_texts.select(
         "left_id",
         "right_id",
         "block_key",
@@ -146,20 +151,19 @@ def score_pairs(
         F.round(_jaccard(F.col("lgrams"), F.col("rgrams")), 6).alias("bigram_jaccard"),
         F.round(_jaccard(F.col("ltoks"), F.col("rtoks")), 6).alias("token_jaccard"),
         F.round(levenshtein_sim(lt, rt, lev_max_len), 6).alias("levenshtein"),
+        F.substring(lt, 1, jw_max_len).alias("_ljw"),
+        F.substring(rt, 1, jw_max_len).alias("_rjw"),
     )
-    jw_scored = pairs_with_texts.select(
-        "left_id",
-        "right_id",
-        F.round(
-            jaro_winkler_sim(
-                F.substring(lt, 1, jw_max_len), F.substring(rt, 1, jw_max_len), jw_max_len
-            ),
-            6,
-        ).alias("jaro_winkler"),
-    )
-    scored = jvm_scored.join(jw_scored, ["left_id", "right_id"])
-    if "jaro_winkler" not in w:
-        scored = jvm_scored
+    if "jaro_winkler" in w:
+        # analysis barrier: stop Catalyst collapsing the narrow
+        # projection into the Python-UDF stage (see docstring)
+        narrow = narrow.localCheckpoint(eager=False)
+        scored = narrow.withColumn(
+            "jaro_winkler",
+            F.round(jaro_winkler_sim(F.col("_ljw"), F.col("_rjw"), jw_max_len), 6),
+        ).drop("_ljw", "_rjw")
+    else:
+        scored = narrow.drop("_ljw", "_rjw")
     total = sum(w.values())
     weight = None
     for name, coef in w.items():

@@ -32,16 +32,31 @@ def test_drop_then_compact_reclaims_orphans(spark):
 
 
 def test_compact_reindex_preserves_partitions(spark):
+    """Pinned semantics (reference algorithms.md:621-668): live =
+    union of surviving collections' OWN record spaces (isolates
+    included). Records that entered the frame only via a since-dropped
+    collection are reclaimed — even though surviving collections
+    transiently showed them as singletons while the shared space held
+    them — and the surviving collection's intrinsic partition (as
+    built, before the frame space grew) is restored exactly."""
     from entityframe_spark.operators.collection import Collection
     from entityframe_spark.operators.entityframe import EntityFrame
 
     ef = EntityFrame()
     ef.add_collection("keep", Collection.from_edges(spark, [("m", "n", 0.9), ("p", "q", 0.6)]))
-    ef.add_collection("gone", Collection.from_edges(spark, [("r", "s", 0.9)]))
-    before = {
+    intrinsic = {
         tuple(sorted(row["members"]))
         for row in ef.collections["keep"].entities(0.5).collect()
     }
+    assert intrinsic == {("m", "n"), ("p", "q")}
+    ef.add_collection("gone", Collection.from_edges(spark, [("r", "s", 0.9)]))
+    # shared-space view: keep transiently sees gone's records as
+    # singletons (reference shared-DataContext behaviour)
+    shared = {
+        tuple(sorted(row["members"]))
+        for row in ef.collections["keep"].entities(0.5).collect()
+    }
+    assert shared == intrinsic | {("r",), ("s",)}
     ef.drop("gone").compact(reindex=True)
     # dense ids 0..n-1 over survivors
     ids = sorted(r["record_id"] for r in ef.records.collect())
@@ -50,4 +65,30 @@ def test_compact_reindex_preserves_partitions(spark):
         tuple(sorted(row["members"]))
         for row in ef.collections["keep"].entities(0.5).collect()
     }
-    assert before == after
+    assert after == intrinsic
+
+
+def test_compact_keeps_isolates_of_surviving_collections(spark):
+    """A surviving collection's edge-less records (true isolates in
+    its OWN space) must survive compact — the r2 bug reclaimed them."""
+    from entityframe_spark.operators.collection import Collection
+    from entityframe_spark.operators.entityframe import EntityFrame
+
+    memberships = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3)], "record_id long, cluster_id long"
+    )
+    ef = EntityFrame()
+    ef.add_collection("keep", Collection.from_memberships(memberships))
+    ef.add_collection(
+        "gone", Collection.from_edges(spark, [("90", "91", 0.9)])
+    )
+    ef.drop("gone").compact()
+    # records 2 and 3 are edge-less singletons of "keep": still live
+    ids = sorted(r["record_id"] for r in ef.records.collect())
+    assert ids == [0, 1, 2, 3]
+    parts = _clusters(ef.collections["keep"], 1.0)
+    assert {frozenset(p) for p in parts} == {
+        frozenset({0, 1}),
+        frozenset({2}),
+        frozenset({3}),
+    }

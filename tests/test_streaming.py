@@ -11,9 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from entityframe_spark.streaming.collapse import (
+    FLUSH_CONV_ID,
     TURN_SCHEMA,
     collapse_turn_stream,
-    run_stream_to_table,
+    drain_turns_to_table,
 )
 
 
@@ -46,15 +47,15 @@ def turn_files(spark, tmp_path_factory):
 def test_stream_collapse_matches_batch(spark, turn_files, tmp_path):
     from entityframe_spark.pipeline.transcripts import collapse_conversations
 
-    stream = spark.readStream.schema(TURN_SCHEMA).parquet(turn_files)
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    q = run_stream_to_table(stream, out, ckpt, watermark="1 minute", session_gap="5 minutes")
-    q.awaitTermination(120)
+    drain_turns_to_table(
+        spark, turn_files, out, ckpt, watermark="1 minute", session_gap="5 minutes"
+    )
 
     got = spark.read.parquet(out)
     batch = collapse_conversations(
-        spark.read.parquet(turn_files)
+        spark.read.parquet(turn_files).where(F.col("conv_id") != FLUSH_CONV_ID)
     ).select("conv_id", "n_turns", "full_text", "role_sig")
 
     g = {r["conv_id"]: r for r in got.collect()}

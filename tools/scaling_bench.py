@@ -70,27 +70,30 @@ collapsed = prepare_record_features(
 pairs = build_candidate_pairs(collapsed, max_block_size=64).localCheckpoint(eager=True)
 n_pairs = pairs.count()
 
-# scoring: the throughput stage. repartition to the parallelism level
-# so every core has work. The WIDE attached rows (both sides' arrays)
-# must STREAM through the stage — materialising them (checkpoint or
-# cache) thrashes the block store and destroys thread scaling
-# (measured: 32 cores slower than 8). score_pairs is two narrow
-# branches (JVM features / JW UDF) joined on the pair key — nothing
-# materialises.
-scored = score_pairs(attach_pair_texts(pairs.repartition(64), collapsed))
-# the timed action checksums EVERY output column — count() would let
-# Catalyst prune the feature expressions and time only the join.
-# Warmup once (codegen compile, python-worker fork, first-touch page
-# faults — this host zeroes fresh pages ~1000x slower than warm ones,
-# so single-shot walls are noise), then min of 3 repeats.
-force = scored.agg(F.sum(F.xxhash64(*scored.columns)).alias("h"))
-force.collect()
+# scoring: the throughput stage, SAME shape as bench.py q1 — one
+# linear plan (attach join -> JVM features -> narrow lazy checkpoint
+# -> JW pandas UDF), materialised by an eager localCheckpoint so every
+# feature column is physically computed (a bare count() lets Catalyst
+# prune the features; measured 30x too optimistic). The wide attached
+# rows stream through the stage; only the ~300 B/row narrow output
+# hits the block store. Each repeat rebuilds the DataFrame from
+# scratch (fresh lazy checkpoint) so repeats do FULL work; warmup
+# once (codegen compile, python-worker fork, first-touch page faults
+# — this host zeroes fresh pages ~1000x slower than warm), then min
+# of 3.
+def build_scored():
+    return score_pairs(attach_pair_texts(pairs.repartition(64), collapsed))
+
+scored = build_scored().localCheckpoint(eager=True)  # warmup
 walls = []
 for _ in range(3):
     t0 = time.time()
-    force.collect()
+    scored = build_scored().localCheckpoint(eager=True)
     walls.append(time.time() - t0)
 score_wall = min(walls)
+# checksum guards against pruning bugs (decimal(38,0): xxhash64 sums
+# overflow long under ANSI)
+scored.agg(F.sum(F.xxhash64(*scored.columns).cast("decimal(38,0)")).alias("h")).collect()
 
 clusters = full_partition(collapsed, cluster_edges(scored, 0.5))
 n_clusters = clusters.select("cluster_id").distinct().count()
