@@ -525,15 +525,61 @@ def q_consensus_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chain_fixture_edges(spark: SparkSession) -> DataFrame:
+    """Deterministic two-chain + cross-merge graph whose union-find
+    merge sizes are CLOSED-FORM (oracle-able in pure SQL): chain A over
+    even nodes 0..40, chain B over odd nodes 1..41 (each edge extends
+    the chain by one node, sizes (i+1, 1)), then one cross edge (0, 1)
+    at 0.5 merging the two 21-node clusters (sizes 21, 21). All 41
+    thresholds are distinct, so merge order is total. The supplier-
+    hierarchy variants stay covered by pytest
+    (tests/test_entityframe_features.py)."""
+    a = spark.range(20).select(
+        (F.col("id") * 2).alias("src"),
+        (F.col("id") * 2 + 2).alias("dst"),
+        (F.lit(990_000) - F.col("id") * 20_000).cast("long").alias("w_fp"),
+    )
+    b = spark.range(20).select(
+        (F.col("id") * 2 + 1).alias("src"),
+        (F.col("id") * 2 + 3).alias("dst"),
+        (F.lit(980_000) - F.col("id") * 20_000).cast("long").alias("w_fp"),
+    )
+    cross = spark.range(1).select(
+        F.lit(0).cast("long").alias("src"),
+        F.lit(1).cast("long").alias("dst"),
+        F.lit(500_000).cast("long").alias("w_fp"),
+    )
+    return a.unionAll(b).unionAll(cross)
+
+
+# the chain fixture's merge events, recomputed independently in SQL:
+# chain edge i merges the growing prefix cluster (size i+1, rep = chain
+# head) with the next singleton; the cross edge merges the two finished
+# 21-node chains
+_CHAIN_MERGES_SQL = """
+  SELECT CAST(990000 - 20000*i AS BIGINT) AS threshold_fp,
+         CAST(2*i+2 AS BIGINT) AS child, CAST(0 AS BIGINT) AS parent,
+         CAST(i+1 AS BIGINT) AS left_size, CAST(1 AS BIGINT) AS right_size
+  FROM range(0, 20) t(i)
+  UNION ALL
+  SELECT CAST(980000 - 20000*i AS BIGINT),
+         CAST(2*i+3 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(i+1 AS BIGINT), CAST(1 AS BIGINT)
+  FROM range(0, 20) t(i)
+  UNION ALL
+  SELECT CAST(500000 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(21 AS BIGINT), CAST(21 AS BIGINT)
+"""
+
+
 def q_merge_criticality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: top-20 most critical merges C(m) = |E_l| x |E_r| on the
-    supplier hierarchy (rows-only check: union-find merge sizes are
-    not expressible in one SQL pass)."""
+    chain fixture — sizes are closed-form, so the SQL oracle recomputes
+    them independently of the union-find."""
     from entityframe_spark.operators.hierarchy import build_merge_edges_sized
     from entityframe_spark.operators.stability import merge_criticality
 
-    edges = _supplier_edges(spark, sf_dir)
-    sized = build_merge_edges_sized(edges)
+    sized = build_merge_edges_sized(_chain_fixture_edges(spark))
     return (
         merge_criticality(sized)
         .orderBy(F.col("criticality").desc(), F.col("child"))
@@ -543,15 +589,15 @@ def q_merge_criticality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_information_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14: relative information loss per merge threshold (rows-only
-    check; formula documented in operators/stability.py)."""
+    """A14: relative information loss per merge threshold on the chain
+    fixture (formula in operators/stability.py; n=42 participating
+    records -> C(n,2)=861 pairs, recomputed in the SQL oracle)."""
     from entityframe_spark.operators.hierarchy import build_merge_edges_sized
     from entityframe_spark.operators.stability import information_content
 
-    edges = _supplier_edges(spark, sf_dir)
-    sized = build_merge_edges_sized(edges)
+    sized = build_merge_edges_sized(_chain_fixture_edges(spark))
     out = information_content(sized)
-    return _round6(out, ["i_cum", "info_loss"])
+    return _round6(out, ["i_cum", "info_loss"]).orderBy("threshold_fp")
 
 
 def q_entity_set_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,20 +626,57 @@ def q_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["threshold", "entropy"])
 
 
+# fixed near-dup corpus for the simhash oracle: three long base
+# sentences with one-token edits (small hamming) plus unrelated texts
+_SIMHASH_BASE1 = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the distant purple mountains tonight"
+)
+_SIMHASH_BASE2 = (
+    "entity resolution at web scale requires careful blocking scoring "
+    "and transitive clustering over candidate record pairs every day"
+)
+_SIMHASH_BASE3 = (
+    "spark dataframes shuffle partitions across executor nodes and the "
+    "catalyst optimizer prunes columns before the parquet scan happens"
+)
+SIMHASH_CORPUS = [
+    (0, _SIMHASH_BASE1),
+    (1, _SIMHASH_BASE1.replace("dog", "cat")),
+    (2, _SIMHASH_BASE1.replace("tonight", "today")),
+    (3, _SIMHASH_BASE2),
+    (4, _SIMHASH_BASE2.replace("day", "night")),
+    (5, _SIMHASH_BASE2.replace("careful", "cautious")),
+    (6, _SIMHASH_BASE3),
+    (7, _SIMHASH_BASE3.replace("happens", "occurs")),
+    (8, "totally disjoint vocabulary aardvark zymurgy quixotic jabberwocky"),
+    (9, "another unrelated short text about nothing in particular"),
+    (10, _SIMHASH_BASE1.replace("quick", "swift").replace("dog", "wolf")),
+    (11, _SIMHASH_BASE3.replace("spark", "flink").replace("parquet", "orc")),
+]
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates on a documents slice (rows-only
-    check: crc32-seeded simhash is not expressible in DuckDB SQL;
-    semantics pytest-verified in tests/test_similarity.py)."""
+    """SimHash near-dup candidates on a fixed 12-doc corpus. The
+    oracle is a golden VALUES table computed by an independent scalar
+    reimplementation of the crc32 simhash + 4x16-bit banding (see
+    tests/test_similarity.py for the scalar-parity property test):
+    7 expected pairs, hamming 2..9."""
     from entityframe_spark.pipeline.dedup import simhash_candidates
 
-    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return simhash_candidates(d).where(F.col("hamming") <= 6)
+    d = spark.createDataFrame(SIMHASH_CORPUS, "doc_id long, text string")
+    return simhash_candidates(d).select(
+        "left_id", "right_id", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("left_id", "right_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic synthetic media -> binary
-    payloads -> mapInPandas feature extraction (decode stubbed; rows-
-    only check — the byte-stats features are pytest-verified)."""
+    """Multimodal plumbing: deterministic synthetic media (payload byte
+    j of media i = (i*31+j*7)%256 — closed form) -> binary payloads ->
+    mapInPandas feature extraction (decode stubbed). The checked
+    feature is the mod-997 byte-sum checksum (feature[8]): integer-
+    valued, exactly representable in float32, so the SQL oracle
+    recomputes it from the formula with no float-rounding hazard."""
     from entityframe_spark.pipeline.multimodal import (
         extract_features,
         synthesize_media,
@@ -602,7 +685,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, n=48)
     out = extract_features(media)
     return out.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 3).alias("f0")
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feature", 8).cast("long").alias("byte_sum_mod"),
+    ).orderBy("media_id")
+
+
+def q_staged_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 staged resolution (reference interface.md:731-763): stage 1
+    resolves documents WITHIN each of two sources (even/odd doc ids) by
+    exact 16-char lower-text prefix; stage 2 links stage-1 entities
+    across sources by the same canonical key over their super-node
+    reps; the composed partition at t=1.0 therefore equals a global
+    group-by on the prefix — which is exactly what the SQL oracle
+    computes, independently of the star-expansion + union-find + CC
+    machinery the Spark path exercises."""
+    from entityframe_spark.operators.staged import (
+        link_entities_exact,
+        staged_collection,
+    )
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.substring(F.lower(F.col("text")), 1, 16).alias("link_key"),
+        (F.col("doc_id") % 2 == 0).alias("_even"),
+    )
+    # stage 1: within-source partitions (cluster = min doc id sharing
+    # the key within the source; ids globally distinct across sources)
+    stage1 = (
+        d.groupBy("_even", "link_key")
+        .agg(F.min("record_id").alias("cluster_id"))
+        .join(d, ["_even", "link_key"])
+        .select("record_id", "cluster_id")
+    )
+    cross = link_entities_exact(stage1, d.select("record_id", "link_key"))
+    coll = staged_collection(stage1, cross)
+    part = coll.at(1.0)
+    return (
+        part.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("cluster_id").alias("entity_rep"), "n_docs")
+        .orderBy("entity_rep")
     )
 
 
@@ -639,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "entity_set_metrics": q_entity_set_metrics,
         "collection_sweep": q_collection_sweep,
+        "staged_resolution": q_staged_resolution,
     }
 
 
@@ -879,6 +1004,66 @@ def oracle_sql() -> dict[str, str]:
              CAST(round(dice, 6) AS DOUBLE) AS dice,
              CAST(round(ovl, 6) AS DOUBLE) AS overlap
       FROM r WHERE rn = 1
+    """
+
+    sqls["merge_criticality"] = f"""
+      WITH merges AS ({_CHAIN_MERGES_SQL})
+      SELECT threshold_fp, child, parent,
+             CAST(left_size * right_size AS BIGINT) AS criticality,
+             CAST(left_size + right_size AS BIGINT) AS merged_size
+      FROM merges
+      ORDER BY criticality DESC, child
+      LIMIT 20
+    """
+
+    sqls["information_loss"] = f"""
+      WITH merges AS ({_CHAIN_MERGES_SQL}),
+           im AS (SELECT threshold_fp,
+                         -ln(left_size * right_size / 861.0) / ln(2) AS i_m
+                  FROM merges),
+           byt AS (SELECT threshold_fp, SUM(i_m) AS i_t FROM im GROUP BY 1),
+           tot AS (SELECT SUM(i_m) AS ih FROM im)
+      SELECT threshold_fp,
+             CAST(round(SUM(i_t) OVER (ORDER BY threshold_fp DESC), 6) AS DOUBLE)
+               AS i_cum,
+             CAST(round(1 - SUM(i_t) OVER (ORDER BY threshold_fp DESC) / ih, 6)
+               AS DOUBLE) AS info_loss
+      FROM byt CROSS JOIN tot
+      ORDER BY threshold_fp
+    """
+
+    # golden VALUES computed by an independent scalar reimplementation
+    # of the crc32 simhash + 4x16-bit banding over SIMHASH_CORPUS
+    sqls["simhash_neardup"] = """
+      SELECT CAST(left_id AS BIGINT) AS left_id,
+             CAST(right_id AS BIGINT) AS right_id,
+             CAST(hamming AS BIGINT) AS hamming
+      FROM (VALUES (0, 2, 7), (0, 10, 8), (2, 10, 9), (3, 4, 7),
+                   (3, 5, 4), (4, 5, 7), (6, 7, 2)) t(left_id, right_id, hamming)
+      ORDER BY left_id, right_id
+    """
+
+    sqls["multimodal_features"] = """
+      WITH m AS (SELECT i AS media_id,
+                        CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                        64 + (i % 5) * 32 AS nb
+                 FROM range(0, 48) t(i)),
+           b AS (SELECT m.media_id, m.kind, m.nb,
+                        (m.media_id * 31 + r.j * 7) % 256 AS v
+                 FROM m JOIN range(0, 224) r(j) ON r.j < m.nb)
+      SELECT media_id, kind, CAST(nb AS INTEGER) AS n_bytes,
+             CAST(SUM(v) % 997 AS BIGINT) AS byte_sum_mod
+      FROM b GROUP BY media_id, kind, nb
+      ORDER BY media_id
+    """
+
+    sqls["staged_resolution"] = """
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS entity_rep,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      GROUP BY substr(lower(text), 1, 16)
+      ORDER BY entity_rep
     """
 
     sqls["collection_sweep"] = " UNION ALL ".join(

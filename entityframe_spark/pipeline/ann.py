@@ -139,47 +139,17 @@ def lsh_topk_bucketed(
     )
 
 
-def lsh_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 12,
-    seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k: score only the query's hyperplane bucket.
+def lsh_topk(*args, **kwargs):
+    """REMOVED (r3): this path re-hashed the ENTIRE corpus per query —
+    an O(n) pandas-UDF pass that defeats the point of LSH and was easy
+    to copy by accident. Use the scale path instead:
 
-    At 100 TB the bucketed table is written partitioned by bucket key
-    so a query reads one partition (partition pruning); here the
-    filter plays that role. Recall can be raised with multi-probe
-    (flip one bit) — left as the bucket-key union of hamming-1 keys.
+        write_bucketed_embeddings(...)   # once, partitioned by bucket
+        lsh_topk_bucketed(spark, path, query_vec, ...)  # partition-
+                                                        # pruned probes
     """
-    dim = len(query_vec)
-    bucket = make_hyperplane_bucket_udf(dim, n_planes, seed)
-    tagged = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qsigns = (np.asarray(query_vec) @ planes) >= 0
-    qkey = "".join("1" if s else "0" for s in qsigns)
-    # multi-probe: query bucket + all hamming-1 neighbours
-    probes = [qkey] + [
-        qkey[:i] + ("0" if qkey[i] == "1" else "1") + qkey[i + 1 :]
-        for i in range(n_planes)
-    ]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        tagged.where(F.col("bucket").isin(probes))
-        .select(
-            "vec_id",
-            F.round(cosine_expr(F.col("vec").cast("array<double>"), q), 6).alias(
-                "cosine"
-            ),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(k)
+    raise NotImplementedError(
+        "lsh_topk was removed: it re-hashed the whole corpus per query. "
+        "Use write_bucketed_embeddings + lsh_topk_bucketed (partition-"
+        "pruned, multi-probe) instead."
     )
