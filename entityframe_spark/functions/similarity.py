@@ -270,12 +270,18 @@ def jaro_winkler_batch(
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched, numpy-vectorized Jaro-Winkler similarity (the
-    designated slow path for ops Spark lacks; SURVEY.md §2.11). The
-    whole Arrow batch is scored in vectorized numpy — no per-pair
-    Python loop."""
+    """Arrow-batched Jaro-Winkler similarity (the designated slow path
+    for ops Spark lacks; SURVEY.md §2.11). Prefers the zero-allocation
+    C kernel (functions/jw_native.py, ~150x the numpy batch on this
+    host — fresh numpy allocations pay ~1000x page-zero cost here);
+    falls back to the vectorized numpy batch when no compiler is
+    available. Both are property-tested against the scalar reference."""
+    from entityframe_spark.functions import jw_native
+
     av = a.fillna("").tolist()
     bv = b.fillna("").tolist()
+    if jw_native.native_available():
+        return pd.Series(jw_native.jw_batch_native(av, bv))
     return pd.Series(jaro_winkler_batch(av, bv))
 
 

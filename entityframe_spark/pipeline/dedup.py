@@ -210,6 +210,16 @@ def ngram_jaccard_pairs(
         )
     )
     g = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    if candidate_pairs is not None:
+        # only docs that appear in a candidate pair need gram arrays —
+        # a semi-join prunes the (usually much larger) rest before the
+        # expensive tokenise/shingle projection runs
+        cand_ids = (
+            candidate_pairs.select(F.col("left_id").alias("doc_id"))
+            .unionAll(candidate_pairs.select(F.col("right_id").alias("doc_id")))
+            .dropDuplicates(["doc_id"])
+        )
+        g = g.join(cand_ids, "doc_id", "left_semi")
     # consumed by both join sides: checkpoint so the gram arrays are
     # derived once per doc, not once per side
     g = g.localCheckpoint(eager=False)

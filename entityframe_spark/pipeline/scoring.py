@@ -120,13 +120,21 @@ def score_pairs(
     ONE LINEAR PLAN in two projection stages separated by a NARROW
     lazy localCheckpoint, on purpose:
 
-    - stage 1: every JVM feature (array intersects, levenshtein) plus
-      the two 128-char Jaro-Winkler input prefixes — pure codegen.
-      This is where the wide hashed-array columns die: the stage-1
-      output row is ids + block_key + 4 doubles + 2 short strings
-      (~300 B/row vs multi-KB pair rows).
-    - stage 2: the Jaro-Winkler pandas UDF over the narrow stage-1
-      rows only.
+    - stage 1 (JVM codegen): ONE array_intersect per hash-set pair —
+      containment and jaccard both derive from it via
+      |A ∪ B| = |A| + |B| - |A ∩ B| (arrays are distinct), which
+      removes array_union and a duplicate intersect (measured 28s ->
+      ~7s for the bigram features on 515k pairs) — plus the pair-text
+      prefixes. This is where the wide hashed-array columns die: the
+      stage-1 output row is ids + block_key + 3 doubles + 2 short
+      strings.
+    - stage 2 (Arrow): ONE pandas UDF computing BOTH levenshtein and
+      Jaro-Winkler in a single zero-allocation C pass over the
+      prefixes (functions/jw_native.py). The JVM built-in levenshtein
+      at 256 chars was the single biggest q1 cost (measured 92s for
+      515k pairs — ~11M DP cells/s/core); the C DP runs the same
+      34G cells in ~1s across 32 cores. Falls back to JVM levenshtein
+      + the numpy JW batch when no C compiler is available.
 
     Why the boundary: without it Catalyst collapses the projections
     and ExtractPythonUDFs places ArrowEvalPython BELOW the combined
@@ -139,31 +147,81 @@ def score_pairs(
     narrow boundary keeps ONE attach-join evaluation and a ~300 B/row
     block-store write; throughput is measured by bench.py's
     pairs_per_sec (see BENCH.md), not claimed here."""
+    from entityframe_spark.functions import jw_native
+
     w = feature_weights or DEFAULT_WEIGHTS
     lt, rt = F.col("left_text"), F.col("right_text")
-    narrow = pairs_with_texts.select(
+    gi, gl, gr = F.col("_gi"), F.col("_gl"), F.col("_gr")
+    ti, tl, tr = F.col("_ti"), F.col("_tl"), F.col("_tr")
+    sized = pairs_with_texts.select(
         "left_id",
         "right_id",
         "block_key",
-        F.round(_containment(F.col("lgrams"), F.col("rgrams")), 6).alias(
-            "bigram_containment"
-        ),
-        F.round(_jaccard(F.col("lgrams"), F.col("rgrams")), 6).alias("bigram_jaccard"),
-        F.round(_jaccard(F.col("ltoks"), F.col("rtoks")), 6).alias("token_jaccard"),
-        F.round(levenshtein_sim(lt, rt, lev_max_len), 6).alias("levenshtein"),
-        F.substring(lt, 1, jw_max_len).alias("_ljw"),
-        F.substring(rt, 1, jw_max_len).alias("_rjw"),
+        F.size(F.array_intersect(F.col("lgrams"), F.col("rgrams"))).alias("_gi"),
+        F.size(F.col("lgrams")).alias("_gl"),
+        F.size(F.col("rgrams")).alias("_gr"),
+        F.size(F.array_intersect(F.col("ltoks"), F.col("rtoks"))).alias("_ti"),
+        F.size(F.col("ltoks")).alias("_tl"),
+        F.size(F.col("rtoks")).alias("_tr"),
+        F.substring(lt, 1, lev_max_len).alias("_lp"),
+        F.substring(rt, 1, lev_max_len).alias("_rp"),
     )
-    if "jaro_winkler" in w:
+    narrow = sized.select(
+        "left_id",
+        "right_id",
+        "block_key",
+        F.round(
+            F.when(F.least(gl, gr) == 0, F.lit(1.0)).otherwise(gi / F.least(gl, gr)),
+            6,
+        ).alias("bigram_containment"),
+        F.round(
+            F.when(gl + gr - gi == 0, F.lit(1.0)).otherwise(gi / (gl + gr - gi)), 6
+        ).alias("bigram_jaccard"),
+        F.round(
+            F.when(tl + tr - ti == 0, F.lit(1.0)).otherwise(ti / (tl + tr - ti)), 6
+        ).alias("token_jaccard"),
+        "_lp",
+        "_rp",
+    )
+    need_python = "jaro_winkler" in w and jw_native.native_available()
+    if "jaro_winkler" in w and not need_python:
+        # fallback: JVM levenshtein + numpy JW batch
+        narrow = narrow.withColumn(
+            "levenshtein",
+            F.round(levenshtein_sim(F.col("_lp"), F.col("_rp"), lev_max_len), 6),
+        ).localCheckpoint(eager=False)
+        scored = narrow.withColumn(
+            "jaro_winkler",
+            F.round(jaro_winkler_sim(F.col("_lp"), F.col("_rp"), jw_max_len), 6),
+        ).drop("_lp", "_rp")
+    elif need_python:
         # analysis barrier: stop Catalyst collapsing the narrow
         # projection into the Python-UDF stage (see docstring)
         narrow = narrow.localCheckpoint(eager=False)
-        scored = narrow.withColumn(
-            "jaro_winkler",
-            F.round(jaro_winkler_sim(F.col("_ljw"), F.col("_rjw"), jw_max_len), 6),
-        ).drop("_ljw", "_rjw")
+
+        @F.pandas_udf("lev double, jw double")
+        def _lev_jw(a, b):
+            import pandas as pd
+
+            lev, jw = jw_native.lev_jw_batch_native(
+                a.fillna("").tolist(),
+                b.fillna("").tolist(),
+                lev_max_len,
+                jw_max_len,
+            )
+            return pd.DataFrame({"lev": lev, "jw": jw})
+
+        scored = (
+            narrow.withColumn("_s", _lev_jw(F.col("_lp"), F.col("_rp")))
+            .withColumn("levenshtein", F.round(F.col("_s.lev"), 6))
+            .withColumn("jaro_winkler", F.round(F.col("_s.jw"), 6))
+            .drop("_lp", "_rp", "_s")
+        )
     else:
-        scored = narrow.drop("_ljw", "_rjw")
+        scored = narrow.withColumn(
+            "levenshtein",
+            F.round(levenshtein_sim(F.col("_lp"), F.col("_rp"), lev_max_len), 6),
+        ).drop("_lp", "_rp")
     total = sum(w.values())
     weight = None
     for name, coef in w.items():

@@ -149,3 +149,55 @@ class TestCollectionLRU:
         assert threshold_to_fp(first) in coll._cache
         assert threshold_to_fp(thresholds[1]) not in coll._cache
         assert threshold_to_fp(0.99) in coll._cache
+
+
+def test_native_lev_jw_parity_vs_scalar_and_jvm(spark):
+    """The C kernel must match (a) the scalar _jaro_winkler reference
+    bit-for-bit and (b) Spark's built-in levenshtein on the same
+    truncated prefixes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.functions import jw_native
+
+    if not jw_native.native_available():
+        import pytest
+
+        pytest.skip("no C compiler on this host")
+    random.seed(7)
+    vocab = "run query check status deploy kindly execute failure".split()
+    pairs = [("", ""), ("a", ""), ("", "b"), ("martha", "marhta"), ("ab", "ba")]
+    for _ in range(300):
+        a = " ".join(random.choice(vocab) for _ in range(random.randint(0, 40)))
+        b = (
+            a
+            if random.random() < 0.3
+            else " ".join(random.choice(vocab) for _ in range(random.randint(0, 40)))
+        )
+        pairs.append((a, b))
+    av = [p[0] for p in pairs]
+    bv = [p[1] for p in pairs]
+    lev, jw = jw_native.lev_jw_batch_native(av, bv, 256, 128)
+    for (a, b), got in zip(pairs, jw):
+        assert abs(got - _jaro_winkler(a[:128], b[:128])) < 1e-12, (a, b)
+    # same 256-truncation contract as levenshtein_sim / the C kernel
+    df = spark.createDataFrame(
+        [(a[:256], b[:256]) for a, b in pairs], "a string, b string"
+    )
+    jvm = [
+        r["s"]
+        for r in df.select(
+            F.when(
+                F.greatest(F.length("a"), F.length("b")) == 0, F.lit(1.0)
+            )
+            .otherwise(
+                1.0
+                - F.levenshtein(F.col("a"), F.col("b"))
+                / F.greatest(F.length("a"), F.length("b"))
+            )
+            .alias("s")
+        ).collect()
+    ]
+    for (a, b), got, want in zip(pairs, lev, jvm):
+        assert abs(got - want) < 1e-12, (a, b, got, want)
