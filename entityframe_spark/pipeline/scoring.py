@@ -73,14 +73,32 @@ def prepare_record_features(collapsed: DataFrame, text_col: str = "full_text") -
     )
 
 
-def attach_pair_texts(pairs: DataFrame, features: DataFrame) -> DataFrame:
+def attach_pair_texts(
+    pairs: DataFrame,
+    features: DataFrame,
+    broadcast_threshold: int = 500_000,
+) -> DataFrame:
     """Two equi-joins pulling both sides' prefix + hashed arrays onto
     each pair. ``features`` must carry FEATURE_COLS (from
     prepare_record_features); derived here if missing (small-input
-    convenience path)."""
+    convenience path).
+
+    Join strategy (the scale decision that dominates scoring wall):
+    the feature rows are ~2-4 KB each (two hashed-set arrays + a
+    256-char prefix), so a shuffle join moves pairs x 2 x that — 8 GB
+    for 2.4M pairs, an IO cost that does NOT scale with cores
+    (measured: the single biggest drag on N->4N scaling efficiency).
+    When the feature table is dimension-sized (< broadcast_threshold
+    rows) it is BROADCAST instead: zero pair shuffle, the join runs
+    map-side over the pairs' existing partitions. Beyond the
+    threshold (the 100 TB path) callers should bucket both sides on
+    record_id and let sort-merge join co-locate; pass
+    broadcast_threshold=0 to force the shuffle join."""
     if "toks_h" not in features.columns:
         features = prepare_record_features(features).localCheckpoint(eager=False)
     sel = features.select(*FEATURE_COLS)
+    if broadcast_threshold and sel.limit(broadcast_threshold).count() < broadcast_threshold:
+        sel = F.broadcast(sel)
     left = sel.select(
         F.col("record_id").alias("left_id"),
         F.col("prefix").alias("left_text"),
@@ -183,21 +201,31 @@ def score_pairs(
         "_lp",
         "_rp",
     )
+    def _barrier(df: DataFrame) -> DataFrame:
+        # projection barrier before the Python stage: an EXCHANGE of
+        # the narrow rows (compressed, a few hundred MB per 10M pairs)
+        # rather than a localCheckpoint — the block-store write+read of
+        # every narrow row was a second non-scaling materialisation.
+        # Catalyst never collapses Projects across an Exchange, so
+        # ArrowEvalPython's pass-through stays narrow (see docstring).
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return df.repartition(n)
+
     need_python = "jaro_winkler" in w and jw_native.native_available()
     if "jaro_winkler" in w and not need_python:
         # fallback: JVM levenshtein + numpy JW batch
-        narrow = narrow.withColumn(
-            "levenshtein",
-            F.round(levenshtein_sim(F.col("_lp"), F.col("_rp"), lev_max_len), 6),
-        ).localCheckpoint(eager=False)
+        narrow = _barrier(
+            narrow.withColumn(
+                "levenshtein",
+                F.round(levenshtein_sim(F.col("_lp"), F.col("_rp"), lev_max_len), 6),
+            )
+        )
         scored = narrow.withColumn(
             "jaro_winkler",
             F.round(jaro_winkler_sim(F.col("_lp"), F.col("_rp"), jw_max_len), 6),
         ).drop("_lp", "_rp")
     elif need_python:
-        # analysis barrier: stop Catalyst collapsing the narrow
-        # projection into the Python-UDF stage (see docstring)
-        narrow = narrow.localCheckpoint(eager=False)
+        narrow = _barrier(narrow)
 
         @F.pandas_udf("lev double, jw double")
         def _lev_jw(a, b):

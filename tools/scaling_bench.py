@@ -133,15 +133,27 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     out_md = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/BENCH.md"
+    reps = int(os.environ.get("SCALING_REPS", "2"))
 
-    lo = run_level(sf_dir, n)
-    hi = run_level(sf_dir, 4 * n)
+    # ALTERNATE the levels and keep each level's best attempt: this
+    # host has heavy co-tenant CPU-steal windows (identical runs vary
+    # 2x), and a steal window that happens to cover one level's whole
+    # child process would otherwise fabricate (or destroy) the ratio.
+    # Best-of-interleaved is the steal-robust estimator of the
+    # machine's true throughput at each level.
+    los, his = [], []
+    for _ in range(reps):
+        los.append(run_level(sf_dir, n))
+        his.append(run_level(sf_dir, 4 * n))
+    lo = min(los, key=lambda r: r["score_wall_s"])
+    hi = min(his, key=lambda r: r["score_wall_s"])
     eff_throughput = (hi["pairs_per_sec"] / lo["pairs_per_sec"]) / 4.0
     eff_wall = (lo["total_wall_s"] / hi["total_wall_s"]) / 4.0
 
     result = {
         "sf_dir": sf_dir,
         "levels": [lo, hi],
+        "all_attempts": {"lo": los, "hi": his},
         "scaling_efficiency_scoring": round(eff_throughput, 3),
         "scaling_efficiency_end_to_end": round(eff_wall, 3),
     }
@@ -155,10 +167,14 @@ Same linkage job (collapse -> block -> score -> cluster) on
 `{sf_dir}` events-as-transcripts (deterministically replicated x8
 with shifted user ids so the scoring stage is long enough for
 parallelism, not fixed JVM/job overhead, to dominate), run at
-local[{n}] and local[{4*n}] in separate processes. Scoring throughput
-is the north-rule metric; end-to-end wall includes fixed driver/JVM
-overheads that do not parallelize (job scheduling, checkpoint
-commits), so the scoring efficiency is the honest scaling signal.
+local[{n}] and local[{4*n}] in separate processes — {reps}x each,
+levels ALTERNATED, best attempt per level kept (this host has
+co-tenant CPU-steal windows that vary identical runs by 2x; an
+interleaved best-of is the steal-robust estimator). Scoring
+throughput is the north-rule metric; end-to-end wall includes fixed
+driver/JVM overheads that do not parallelize (job scheduling,
+checkpoint commits), so the scoring efficiency is the honest scaling
+signal.
 
 | level | candidate pairs | scoring wall (s) | pairs/sec | end-to-end wall (s) |
 |---|---|---|---|---|
