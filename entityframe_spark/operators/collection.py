@@ -217,6 +217,70 @@ class Collection:
         )
         return int(rows[0]["cluster_id"]) if rows else None
 
+    def merges_affecting_record(self, record_id: int) -> list[dict]:
+        """P5: every merge event whose merging clusters contain the
+        record (reference MergeEvent.affects_record,
+        merge_event.rs:36-40), descending threshold order.
+
+        The dendrogram stores (threshold_fp, child_rep, parent_rep),
+        not member bitmaps, so membership is recovered by walking the
+        record's representative chain: a record's cluster rep only
+        changes when its current rep is ABSORBED (appears as child);
+        until then every merge listing the rep as child or parent
+        touches the record's cluster. Each hop is one small
+        two-predicate filter (a point lookup against a
+        threshold-bucketed merge table at scale); the loop runs once
+        per rep in the chain (<= chain depth, not #merges).
+
+        Returns [{"threshold": float, "child": int, "parent": int,
+        "absorbed": bool}] — absorbed=True on the event where the
+        record's own cluster was the child side.
+        """
+        out: list[dict] = []
+        seen: set[tuple[int, int]] = set()  # (threshold_fp, child) — unique per event
+        rep = int(record_id)
+        t_cut = None  # rep became current AT this threshold (None = from the top)
+        while True:
+            cond = (F.col("child") == rep) | (F.col("parent") == rep)
+            if t_cut is not None:
+                # <= : equal-threshold (n-way) merges under the new rep
+                # are part of the same instant; dedup via `seen`
+                cond = cond & (F.col("threshold_fp") <= t_cut)
+            rows = (
+                self.merge_edges.where(cond)
+                .orderBy(F.col("threshold_fp").desc())
+                .collect()
+            )
+            # within one threshold batch the parent-side rows happen "at
+            # the same instant" as the absorption: visit them first so
+            # n-way merges at the absorption threshold are not lost
+            rows.sort(key=lambda r: (-int(r["threshold_fp"]), int(r["child"]) == rep))
+            absorbed_at = None
+            for r in rows:
+                key = (int(r["threshold_fp"]), int(r["child"]))
+                if key in seen:
+                    continue
+                is_child = int(r["child"]) == rep
+                if (
+                    absorbed_at is not None
+                    and int(r["threshold_fp"]) < absorbed_at[0]
+                ):
+                    break  # strictly later events re-queried under new rep
+                seen.add(key)
+                out.append(
+                    {
+                        "threshold": r["threshold_fp"] / PRECISION_FACTOR,
+                        "child": int(r["child"]),
+                        "parent": int(r["parent"]),
+                        "absorbed": is_child,
+                    }
+                )
+                if is_child:
+                    absorbed_at = (int(r["threshold_fp"]), int(r["parent"]))
+            if absorbed_at is None:
+                return out
+            t_cut, rep = absorbed_at[0], absorbed_at[1]
+
     def memberships_for_grid(self, thresholds: list[float]) -> DataFrame:
         """(threshold_fp, record_id, cluster_id) for every grid point in
         one pass (A17 sweep support)."""

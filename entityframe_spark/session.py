@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # this sandbox's page-fault path is a contended host resource
+        # that ANTI-SCALES past ~8 threads (measured 0.60 GiB/s fresh-
+        # page touch at 8 threads vs 0.20 at 32 — see BENCH.md): pre-
+        # touch the whole heap once at JVM startup so steady-state
+        # allocation and GC never fault fresh pages mid-query. Xms=Xmx
+        # makes the pretouch cover everything. Harmless elsewhere.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -Xms"
+            + os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

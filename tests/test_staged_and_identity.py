@@ -197,3 +197,45 @@ def test_simhash_degenerate_corpus_bounded(spark):
         F.lit("boilerplate header lorem ipsum dolor sit amet").alias("text"),
     )
     assert simhash_candidates(small).count() == 190  # C(20,2): all pairs collide
+
+
+def test_merges_affecting_record(spark):
+    """P5 affects_record parity (merge_event.rs:36-40): every merge
+    whose merging clusters contain the record, walked down the
+    dendrogram chain."""
+    from entityframe_spark.operators.collection import Collection
+
+    # a-b at .9 ; (ab)-c at .8 ; d-e at .7 ; (abc)-(de) at .5
+    coll = Collection.from_edges(
+        spark,
+        [("a", "b", 0.9), ("a", "c", 0.8), ("d", "e", 0.7), ("b", "d", 0.5)],
+    )
+    rid = {r["key"]: r["record_id"] for r in coll.records.collect()}
+    # record e: absorbed into d's cluster at .7, then rides along into
+    # the .5 mega-merge
+    ev_e = coll.merges_affecting_record(rid["e"])
+    assert [round(e["threshold"], 6) for e in ev_e] == [0.7, 0.5]
+    assert ev_e[0]["absorbed"] is True  # e's own cluster was the child at .7
+    # record a: rep survives a-b and a-c merges, then the .5 merge
+    ev_a = coll.merges_affecting_record(rid["a"])
+    assert [round(e["threshold"], 6) for e in ev_a] == [0.9, 0.8, 0.5]
+    assert all(not e["absorbed"] for e in ev_a)
+    # isolate-free record d: .7 merge + .5 merge
+    ev_d = coll.merges_affecting_record(rid["d"])
+    assert [round(e["threshold"], 6) for e in ev_d] == [0.7, 0.5]
+
+
+def test_merges_affecting_record_nway(spark):
+    """Equal-threshold n-way merges at the absorption threshold are
+    all reported (one simultaneous event in reference semantics)."""
+    from entityframe_spark.operators.collection import Collection
+
+    coll = Collection.from_edges(
+        spark, [("1", "2", 0.8), ("2", "3", 0.8), ("3", "4", 0.8)]
+    )
+    rid = {r["key"]: r["record_id"] for r in coll.records.collect()}
+    for k in ("1", "2", "3", "4"):
+        ev = coll.merges_affecting_record(rid[k])
+        # every record sees all three merges of the single 0.8 event
+        assert len(ev) == 3, (k, ev)
+        assert {round(e["threshold"], 6) for e in ev} == {0.8}
