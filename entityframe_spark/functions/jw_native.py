@@ -154,9 +154,25 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir (ADVICE r3: a predictable world-writable
+    /tmp path lets another local user pre-plant a malicious .so, since
+    the source — hence the digest — is public). XDG cache if set, else
+    a uid-scoped tmp dir; created 0700 and ownership-verified."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        tempfile.gettempdir(), f"ef-native-{os.getuid()}"
+    )
+    d = os.path.join(base, "entityframe_spark")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(f"native cache dir {d} is not owned-private; refusing")
+    return d
+
+
 def _compile() -> "ctypes.CDLL | None":
     digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"ef_jw_{digest}.so")
+    so_path = os.path.join(_cache_dir(), f"ef_jw_{digest}.so")
     if not os.path.exists(so_path):
         src = so_path + f".{os.getpid()}.c"
         tmp_so = so_path + f".{os.getpid()}.tmp"
@@ -176,6 +192,9 @@ def _compile() -> "ctypes.CDLL | None":
                     os.unlink(p)
                 except OSError:
                     pass
+    st = os.stat(so_path)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(f"{so_path} not owned by current user; refusing to dlopen")
     lib = ctypes.CDLL(so_path)
     lib.jw_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint32),
@@ -242,6 +261,53 @@ def _i32p(arr):
 
 def _f64p(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _lev_sim_py(a: str, b: str) -> float:
+    """Scalar normalised Levenshtein similarity — same semantics as the
+    C lev_one (plain codepoint DP). Fallback path only."""
+    l1, l2 = len(a), len(b)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    prev = list(range(l2 + 1))
+    for i in range(1, l1 + 1):
+        cur = [i] + [0] * l2
+        ca = a[i - 1]
+        for j in range(1, l2 + 1):
+            cur[j] = min(
+                prev[j - 1] + (b[j - 1] != ca), prev[j] + 1, cur[j - 1] + 1
+            )
+        prev = cur
+    return 1.0 - prev[l2] / max(l1, l2)
+
+
+def lev_jw_batch_fallback(
+    a_strs,
+    b_strs,
+    lev_max_len: int = 256,
+    jw_max_len: int = 128,
+    prefix_weight: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python batch (levenshtein_sim, jaro_winkler) with the same
+    truncation semantics as lev_jw_batch_native. Used inside the
+    scoring pandas UDF when a WORKER has no C compiler (ADVICE r3: the
+    driver-side native_available() check does not see compiler-less
+    executors) — correctness-identical, just slower."""
+    from entityframe_spark.functions.similarity import _jaro_winkler
+
+    n = len(a_strs)
+    lev = np.zeros(n, dtype=np.float64)
+    jw = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        a = (a_strs[i] or "")[:lev_max_len]
+        b = (b_strs[i] or "")[:lev_max_len]
+        lev[i] = _lev_sim_py(a, b)
+        jw[i] = _jaro_winkler(a[:jw_max_len], b[:jw_max_len], prefix_weight)
+    return lev, jw
 
 
 def jw_batch_native(

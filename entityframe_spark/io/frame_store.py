@@ -17,9 +17,14 @@ reconstruction is connected components over the representative edges
 — verified by the round-trip test.
 
 Layout: <path>/records, <path>/collections, <path>/merge_events,
-<path>/merge_groups, <path>/merge_group_records. merge tables are
-written partitioned by collection_id so loading one collection prunes
-the others' files.
+<path>/merge_groups, <path>/merge_group_records, plus
+<path>/collection_records (this engine's addition: each collection's
+OWN record space — ``base_ids`` — which the reference keeps implicit
+in per-hierarchy bitmaps, algorithms.md:621-640; without it a loaded
+frame forgets which records each collection brought, and
+drop()+compact() after a round-trip reclaims nothing). merge tables
+are written partitioned by collection_id so loading one collection
+prunes the others' files.
 """
 
 from __future__ import annotations
@@ -31,7 +36,14 @@ from entityframe_spark.core.quantize import PRECISION_FACTOR
 from entityframe_spark.operators.collection import Collection
 from entityframe_spark.operators.entityframe import EntityFrame
 
-TABLES = ("records", "collections", "merge_events", "merge_groups", "merge_group_records")
+TABLES = (
+    "records",
+    "collections",
+    "merge_events",
+    "merge_groups",
+    "merge_group_records",
+    "collection_records",
+)
 
 
 def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
@@ -120,6 +132,19 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
         f"{path}/merge_group_records"
     )
 
+    # per-collection live record space (base_ids): what compact()
+    # treats as live for this collection, isolates included
+    coll_records = None
+    for cid, name in coll_rows:
+        b = ef.collections[name].base_ids.select(
+            F.lit(cid).alias("collection_id"),
+            F.col("record_id").alias("record_index"),
+        )
+        coll_records = b if coll_records is None else coll_records.unionByName(b)
+    coll_records.write.mode(mode).partitionBy("collection_id").parquet(
+        f"{path}/collection_records"
+    )
+
 
 def load_frame(spark: SparkSession, path: str) -> EntityFrame:
     """Load a 5-table frame written by save_frame. Partitions at any
@@ -157,6 +182,14 @@ def load_frame(spark: SparkSession, path: str) -> EntityFrame:
     )
     me_all = me_all.localCheckpoint(eager=False)
 
+    # base_ids per collection: required for post-load drop()+compact()
+    # parity with the in-memory frame (ADVICE r3). Frames saved before
+    # this table existed fall back to the old whole-space default.
+    try:
+        coll_records = spark.read.parquet(f"{path}/collection_records")
+    except Exception:
+        coll_records = None
+
     ef = EntityFrame()
     recs_cp = records.localCheckpoint(eager=False)
     ef.records = recs_cp
@@ -164,7 +197,12 @@ def load_frame(spark: SparkSession, path: str) -> EntityFrame:
         me = me_all.where(F.col("collection_id") == row["collection_id"]).drop(
             "collection_id"
         )
-        coll = Collection(recs_cp, me)
+        base = None
+        if coll_records is not None:
+            base = coll_records.where(
+                F.col("collection_id") == row["collection_id"]
+            ).select(F.col("record_index").alias("record_id"))
+        coll = Collection(recs_cp, me, base_ids=base)
         # collections already share the frame record space: register
         # directly (no assimilation join needed)
         coll.records = ef.records

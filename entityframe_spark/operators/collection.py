@@ -59,6 +59,10 @@ class Collection:
         # true LRU (move-to-end on hit, evict oldest), matching the
         # reference's partition cache semantics (builder.rs:41,264-273)
         self._cache: OrderedDict[int, DataFrame] = OrderedDict()
+        # merge-forest components, computed lazily on the first
+        # merges_affecting_record point lookup and reused after
+        # (merge_edges is immutable per Collection instance)
+        self._merge_comps: DataFrame | None = None
 
     # -- construction ------------------------------------------------------
 
@@ -235,22 +239,56 @@ class Collection:
         Returns [{"threshold": float, "child": int, "parent": int,
         "absorbed": bool}] — absorbed=True on the event where the
         record's own cluster was the child side.
+
+        Scale shape (r4, was one filtered .collect() PER HOP — O(chain
+        depth) Spark jobs on degenerate tie-chains): the record's
+        top-cluster merge tree is collected ONCE — find the record's
+        component over the merge forest (cached across point lookups on
+        this collection), left-semi the merge edges to it, collect, and
+        run the hop loop over the in-memory rows. The collected set is
+        bounded by the record's top-cluster size, which blocking bounds
+        upstream. Constant number of Spark jobs regardless of chain
+        depth.
         """
+        from entityframe_spark.operators.components import connected_components
+
+        rep0 = int(record_id)
+        if self._merge_comps is None:
+            self._merge_comps = connected_components(
+                self.merge_edges, "child", "parent"
+            ).localCheckpoint(eager=False)
+        comp_row = (
+            self._merge_comps.where(F.col("node") == rep0)
+            .select("component")
+            .limit(1)
+            .collect()
+        )
+        if not comp_row:
+            return []  # record never appears in a merge event
+        comp = int(comp_row[0]["component"])
+        members = (
+            self._merge_comps.where(F.col("component") == F.lit(comp))
+            .select(F.col("node").alias("parent"))
+        )
+        all_rows = (
+            self.merge_edges.join(members, "parent", "left_semi")
+            .orderBy(F.col("threshold_fp").desc())
+            .collect()
+        )
+
         out: list[dict] = []
         seen: set[tuple[int, int]] = set()  # (threshold_fp, child) — unique per event
         rep = int(record_id)
         t_cut = None  # rep became current AT this threshold (None = from the top)
         while True:
-            cond = (F.col("child") == rep) | (F.col("parent") == rep)
-            if t_cut is not None:
+            rows = [
+                r
+                for r in all_rows
+                if (int(r["child"]) == rep or int(r["parent"]) == rep)
                 # <= : equal-threshold (n-way) merges under the new rep
                 # are part of the same instant; dedup via `seen`
-                cond = cond & (F.col("threshold_fp") <= t_cut)
-            rows = (
-                self.merge_edges.where(cond)
-                .orderBy(F.col("threshold_fp").desc())
-                .collect()
-            )
+                and (t_cut is None or int(r["threshold_fp"]) <= t_cut)
+            ]
             # within one threshold batch the parent-side rows happen "at
             # the same instant" as the absorption: visit them first so
             # n-way merges at the absorption threshold are not lost

@@ -23,6 +23,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from entityframe_spark.functions import uf_native
+
+
+def local_component_labels(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes, component label per node) for one in-task edge batch.
+
+    C kernel when available (the per-edge Python loop was the
+    single-task throughput bound at the 10M-edge component cap —
+    VERDICT r3), numpy/Python union-find fallback otherwise. Both
+    paths: union by min node id -> deterministic min-id labels."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    if uf_native.native_available():
+        si = np.searchsorted(nodes, np.asarray(src, dtype=np.int64))
+        di = np.searchsorted(nodes, np.asarray(dst, dtype=np.int64))
+        return nodes, nodes[uf_native.components_native(si, di, len(nodes))]
+    return nodes, union_find_numpy(src, dst, nodes)
+
 
 def _canonical(e: DataFrame) -> DataFrame:
     """Undirected edge set as (u < v) canonical pairs, no self-loops."""
@@ -90,8 +109,7 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.unique(np.concatenate([pdf["u"].values, pdf["v"].values]))
-        comp = union_find_numpy(pdf["u"].values, pdf["v"].values, nodes)
+        nodes, comp = local_component_labels(pdf["u"].values, pdf["v"].values)
         return pd.DataFrame({"node": nodes, "component": comp})
 
     return (
@@ -220,8 +238,7 @@ def connected_components_blocked(
     )
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
-        comp = union_find_numpy(pdf["src"].values, pdf["dst"].values, nodes)
+        nodes, comp = local_component_labels(pdf["src"].values, pdf["dst"].values)
         return pd.DataFrame({"node": nodes, "component": comp})
 
     out = sel.groupBy("_block").applyInPandas(per_block, schema="node long, component long")

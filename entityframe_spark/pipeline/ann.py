@@ -144,12 +144,12 @@ def lsh_topk(*args, **kwargs):
     an O(n) pandas-UDF pass that defeats the point of LSH and was easy
     to copy by accident. Use the scale path instead:
 
-        write_bucketed_embeddings(...)   # once, partitioned by bucket
+        write_bucketed(...)              # once, partitioned by bucket
         lsh_topk_bucketed(spark, path, query_vec, ...)  # partition-
                                                         # pruned probes
     """
     raise NotImplementedError(
         "lsh_topk was removed: it re-hashed the whole corpus per query. "
-        "Use write_bucketed_embeddings + lsh_topk_bucketed (partition-"
+        "Use write_bucketed + lsh_topk_bucketed (partition-"
         "pruned, multi-probe) instead."
     )

@@ -29,6 +29,12 @@ METRICS_SCHEMA = (
 
 
 def _iceberg_available(spark: SparkSession, catalog: str | None) -> bool:
+    """True iff ``catalog`` is a live Iceberg catalog. HONESTY NOTE:
+    the Iceberg branch has never executed in this container (no
+    catalog jars are installed, so this probe always returns False
+    here); it is seam code per SURVEY §7, exercised only via the
+    parquet fallback. Validate against a real catalog before relying
+    on the writeTo/createOrReplace path."""
     if not catalog:
         return False
     try:

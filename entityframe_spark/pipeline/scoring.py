@@ -231,7 +231,15 @@ def score_pairs(
         def _lev_jw(a, b):
             import pandas as pd
 
-            lev, jw = jw_native.lev_jw_batch_native(
+            # re-check ON THE WORKER: a heterogeneous cluster can have
+            # compiler-less executors even when the driver compiled fine
+            # (ADVICE r3); the pure-Python batch is semantics-identical
+            batch = (
+                jw_native.lev_jw_batch_native
+                if jw_native.native_available()
+                else jw_native.lev_jw_batch_fallback
+            )
+            lev, jw = batch(
                 a.fillna("").tolist(),
                 b.fillna("").tolist(),
                 lev_max_len,

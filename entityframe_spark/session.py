@@ -12,6 +12,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _mem_to_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def _available_bytes() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+def _pretouch_opts(driver_mem: str, user_opts: str) -> str:
+    """Merge user-supplied extraJavaOptions with the page-zeroing
+    mitigation for this sandbox (see BENCH.md: the host's fresh-page
+    touch path anti-scales with thread count, so pre-touching the heap
+    once at JVM startup halves warm scoring walls).
+
+    Guarded, per ADVICE r3: AlwaysPreTouch commits + touches the FULL
+    Xms at startup, which hangs/OOM-kills hosts with less free RAM.
+    Applied only when (a) SPARK_GRAFT_PRETOUCH is not "0", and (b) the
+    driver heap fits in measured MemAvailable with 25% headroom (or
+    the user forces it with SPARK_GRAFT_PRETOUCH=1). User-supplied
+    options are preserved and take precedence (appended last wins for
+    -Xms; an explicit -XX:-AlwaysPreTouch in user_opts disables)."""
+    flag = os.environ.get("SPARK_GRAFT_PRETOUCH", "auto")
+    pre = ""
+    if flag != "0" and "AlwaysPreTouch" not in user_opts:
+        avail = _available_bytes()
+        want = _mem_to_bytes(driver_mem)
+        if flag == "1" or (avail is not None and want * 1.25 <= avail):
+            pre = f"-XX:+AlwaysPreTouch -Xms{driver_mem}"
+    return f"{pre} {user_opts}".strip()
+
+
 def get_spark(
     app_name: str = "entityframe_spark",
     cores: int | None = None,
@@ -29,6 +71,10 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 4)
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    user_java_opts = (extra_conf or {}).get("spark.driver.extraJavaOptions", "")
+    java_opts = _pretouch_opts(driver_mem, user_java_opts)
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -39,24 +85,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # this sandbox's page-fault path is a contended host resource
-        # that ANTI-SCALES past ~8 threads (measured 0.60 GiB/s fresh-
-        # page touch at 8 threads vs 0.20 at 32 — see BENCH.md): pre-
-        # touch the whole heap once at JVM startup so steady-state
-        # allocation and GC never fault fresh pages mid-query. Xms=Xmx
-        # makes the pretouch cover everything. Harmless elsewhere.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+AlwaysPreTouch -Xms"
-            + os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
-        )
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():
+            if k == "spark.driver.extraJavaOptions":
+                continue  # already merged into java_opts above
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -185,4 +185,13 @@ def drain_turns_to_table(
             session_gap=session_gap,
             trigger_available_now=True,
         )
-        q.awaitTermination(timeout_sec)
+        # ADVICE r3: awaitTermination(timeout) returns False on timeout
+        # with the query STILL RUNNING — starting pass 2 then conflicts
+        # on the shared checkpoint dir. Stop and raise instead.
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain pass {i + 1} did not finish within "
+                f"{timeout_sec}s; query stopped (checkpoint remains valid "
+                "for a re-drain)"
+            )

@@ -92,3 +92,38 @@ def test_compact_keeps_isolates_of_surviving_collections(spark):
         frozenset({2}),
         frozenset({3}),
     }
+
+
+def test_compact_after_frame_store_round_trip(spark, tmp_path):
+    """ADVICE r3: base_ids must survive save/load — a loaded frame that
+    defaults every collection's base_ids to the whole frame space makes
+    drop()+compact() reclaim nothing and diverges from the in-memory
+    intrinsic-partition semantics."""
+    from entityframe_spark.io.frame_store import load_frame, save_frame
+    from entityframe_spark.operators.collection import Collection
+    from entityframe_spark.operators.entityframe import EntityFrame
+
+    ef = EntityFrame()
+    ef.add_collection(
+        "keep", Collection.from_edges(spark, [("a", "b", 0.9), ("c", "d", 0.8)])
+    )
+    ef.add_collection(
+        "gone", Collection.from_edges(spark, [("x", "y", 0.9), ("a", "z", 0.7)])
+    )
+    path = str(tmp_path / "frame")
+    save_frame(ef, path)
+
+    ef2 = load_frame(spark, path)
+    # base_ids restored per collection, not defaulted to the frame space
+    keep_keys = {
+        r["key"]
+        for r in ef2.collections["keep"]
+        .base_ids.join(ef2.records, "record_id")
+        .collect()
+    }
+    assert keep_keys == {"a", "b", "c", "d"}
+    ef2.drop("gone").compact()
+    keys = {r["key"] for r in ef2.records.collect()}
+    assert keys == {"a", "b", "c", "d"}  # x, y, z reclaimed post-load
+    parts = _clusters(ef2.collections["keep"], 0.75)
+    assert sorted(len(p) for p in parts) == [2, 2]
