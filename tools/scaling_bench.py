@@ -67,6 +67,7 @@ transcripts = e.select(
 collapsed = prepare_record_features(
     assign_record_ids(collapse_conversations(transcripts))
 ).localCheckpoint(eager=True)
+n_records = collapsed.count()
 pairs = build_candidate_pairs(collapsed, max_block_size=64).localCheckpoint(eager=True)
 n_pairs = pairs.count()
 
@@ -82,7 +83,10 @@ n_pairs = pairs.count()
 # — this host zeroes fresh pages ~1000x slower than warm), then min
 # of 3.
 def build_scored():
-    return score_pairs(attach_pair_texts(pairs.repartition(64), collapsed))
+    # features_count hint: no broadcast-decision probe job per rebuild
+    return score_pairs(
+        attach_pair_texts(pairs.repartition(64), collapsed, features_count=n_records)
+    )
 
 scored = build_scored().localCheckpoint(eager=True)  # warmup
 walls = []
@@ -133,7 +137,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     out_md = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/BENCH.md"
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
 
     # ALTERNATE the levels and keep each level's best attempt: this
     # host has heavy co-tenant CPU-steal windows (identical runs vary
