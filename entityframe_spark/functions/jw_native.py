@@ -152,6 +152,34 @@ void lev_jw_batch(const uint32_t* A, const uint32_t* B,
 
 _lib = None
 _tried = False
+_alloc_tuned = False
+
+
+def tune_allocator() -> None:
+    """Keep large batch buffers on the glibc heap instead of mmap.
+
+    Why: every scoring batch builds multi-MB temporaries (the utf-32
+    pack buffers, pandas/Arrow intermediates). glibc serves
+    allocations > M_MMAP_THRESHOLD (128 KB default) via mmap and
+    returns them to the OS on free — so EVERY batch faults fresh
+    zeroed pages, and this host's page-zeroing path is a contended
+    resource that anti-scales with thread count (BENCH.md: 0.60 GiB/s
+    at 8 threads -> 0.20 at 32). Raising the mmap + trim thresholds
+    makes freed buffers stay on the heap and be reused warm
+    (measured: 3x on single-threaded 10 MB alloc churn; the win grows
+    with concurrent workers because the kernel fault path is the
+    shared bottleneck). Called once per python worker from the batch
+    kernels; harmless elsewhere (slightly higher RSS)."""
+    global _alloc_tuned
+    if _alloc_tuned:
+        return
+    _alloc_tuned = True
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 29)  # M_MMAP_THRESHOLD = 512 MiB
+        libc.mallopt(-1, 1 << 29)  # M_TRIM_THRESHOLD: keep freed heap
+    except Exception:
+        pass  # non-glibc platform: nothing to tune
 
 
 def _cache_dir() -> str:
@@ -299,6 +327,7 @@ def lev_jw_batch_fallback(
     executors) — correctness-identical, just slower."""
     from entityframe_spark.functions.similarity import _jaro_winkler
 
+    tune_allocator()
     n = len(a_strs)
     lev = np.zeros(n, dtype=np.float64)
     jw = np.zeros(n, dtype=np.float64)
@@ -316,6 +345,7 @@ def jw_batch_native(
     """Batch Jaro-Winkler via the C kernel. Self-initialising (Spark
     python workers import this module fresh; the .so is compiled or
     cache-loaded on first call per process)."""
+    tune_allocator()
     if not native_available():
         raise RuntimeError(
             "native JW kernel unavailable on this worker (no C compiler?); "
@@ -343,6 +373,7 @@ def lev_jw_batch_native(
     """Batch (levenshtein_sim, jaro_winkler) in ONE C pass: lev over
     the lev_max_len prefix, JW over the jw_max_len prefix.
     Self-initialising per process, like jw_batch_native."""
+    tune_allocator()
     if not native_available():
         raise RuntimeError(
             "native lev/JW kernel unavailable on this worker (no C "

@@ -20,7 +20,8 @@ Two shapes per scale, because they stress different paths:
 
 Usage: python tools/envelope_bench.py [n_records] [n_edges] [out_md]
 Env: ENVELOPE_CPUS (default 32), ENVELOPE_REPS (default 2; min kept —
-     co-tenant steal swings identical runs 2-3x on this host).
+     co-tenant steal swings identical runs 2-3x on this host),
+     ENVELOPE_SHAPES (comma list, default "clustered,giant_component").
 """
 
 from __future__ import annotations
@@ -111,18 +112,24 @@ def main() -> None:
 
     spark = get_spark(app_name="envelope", cores=cpus, shuffle_partitions=2 * cpus)
 
-    results = [
-        run_shape(
-            spark, "clustered", clustered_edges(spark, n_records, n_edges), reps
-        ),
-        run_shape(
-            spark,
-            "giant_component",
-            giant_edges(spark, n_records, n_edges),
-            reps,
-            max_component_edges=None,  # skew shape on purpose
-        ),
-    ]
+    shapes = os.environ.get("ENVELOPE_SHAPES", "clustered,giant_component").split(",")
+    results = []
+    if "clustered" in shapes:
+        results.append(
+            run_shape(
+                spark, "clustered", clustered_edges(spark, n_records, n_edges), reps
+            )
+        )
+    if "giant_component" in shapes:
+        results.append(
+            run_shape(
+                spark,
+                "giant_component",
+                giant_edges(spark, n_records, n_edges),
+                reps,
+                max_component_edges=None,  # skew shape on purpose
+            )
+        )
     out = {"n_records": n_records, "cpus": cpus, "reps": reps, "shapes": results}
     print(json.dumps(out))
 
