@@ -32,7 +32,7 @@ import subprocess
 
 import numpy as np
 
-from entityframe_spark.functions.jw_native import _cache_dir
+from entityframe_spark.functions.jw_native import _cache_dir, tune_allocator
 
 _C_SOURCE = r"""
 #include <stdint.h>
@@ -192,6 +192,7 @@ def _p(a: np.ndarray):
 
 def components_native(src_idx: np.ndarray, dst_idx: np.ndarray, n_nodes: int) -> np.ndarray:
     """Root index per node (0..n_nodes-1); union by min index."""
+    tune_allocator()
     src_idx, dst_idx = _i64(src_idx), _i64(dst_idx)
     out = np.empty(n_nodes, dtype=np.int64)
     _lib.uf_components(_p(src_idx), _p(dst_idx), len(src_idx), n_nodes, _p(out))
@@ -203,6 +204,7 @@ def single_linkage_native(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(t, child_idx, parent_idx, left_size, right_size) arrays of the
     merge events; inputs must already be sorted by wfp DESC (stable)."""
+    tune_allocator()
     src_idx, dst_idx, wfp = _i64(src_idx), _i64(dst_idx), _i64(wfp)
     cap = max(n_nodes - 1, 1) if n_nodes else 1
     parent = np.empty(n_nodes, dtype=np.int64)
@@ -224,6 +226,7 @@ def grid_labels_native(
 ) -> np.ndarray:
     """Label matrix (n_grid, n_nodes): root index of each node at each
     grid threshold. tf and grid_desc must be sorted DESC."""
+    tune_allocator()
     child_idx, parent_idx, tf = _i64(child_idx), _i64(parent_idx), _i64(tf)
     grid_desc = _i64(grid_desc)
     parent = np.empty(n_nodes, dtype=np.int64)

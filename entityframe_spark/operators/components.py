@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entityframe_spark.functions import uf_native
+from entityframe_spark.functions.jw_native import tune_allocator
+
+# fire in every pyspark worker at closure-deserialize time, BEFORE the
+# first Arrow batch is materialised: the multi-hundred-MB single-task
+# batches otherwise fault fresh pages on every run (host confounder,
+# BENCH.md); harmless on the driver
+tune_allocator()
 
 
 def local_component_labels(

@@ -40,14 +40,26 @@ from pyspark.sql import functions as F
 
 from entityframe_spark.functions import uf_native
 from entityframe_spark.operators.components import connected_components
+from entityframe_spark.functions.jw_native import tune_allocator
+
+# fire in every pyspark worker at closure-deserialize time, BEFORE the
+# first Arrow batch is materialised: the multi-hundred-MB single-task
+# batches otherwise fault fresh pages on every run (host confounder,
+# BENCH.md); harmless on the driver
+tune_allocator()
 
 MERGE_EDGE_SCHEMA = "threshold_fp long, child long, parent long"
 
 
 def _sweep_arrays(pdf: pd.DataFrame):
-    """Sort one component's edges by threshold DESC (stable — ties keep
-    input order, pinning n-way merge event order) and emit the sized
-    merge-event arrays (t, child_id, parent_id, left_size, right_size).
+    """Sort one component's edges by threshold DESC, ties by (src,
+    dst) ASC — a CONTENT-based total order, so the merge-event
+    sequence is identical no matter how edges arrive (shuffle arrival
+    order is nondeterministic on a real cluster, and the fused
+    single-task path sees a different arrival order than the
+    per-component path; input-order ties would make the dendrogram
+    tree shape flap run-to-run). Emits the sized merge-event arrays
+    (t, child_id, parent_id, left_size, right_size).
 
     C kernel when available (the per-edge Python loop bounded
     single-task throughput at ~1M edges/s; the kernel runs ~100M/s —
@@ -59,7 +71,8 @@ def _sweep_arrays(pdf: pd.DataFrame):
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     wfp = pdf["w_fp"].to_numpy(dtype=np.int64)
-    order = np.argsort(-wfp, kind="stable")
+    # lexsort: last key is primary -> (-w_fp, src, dst) total order
+    order = np.lexsort((dst, src, -wfp))
     src, dst, wfp = src[order], dst[order], wfp[order]
 
     nodes = np.unique(np.concatenate([src, dst]))
@@ -128,12 +141,44 @@ def _local_single_linkage_sized(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _sweep_fused_single_task(edges_fp: DataFrame, sweep_fn, schema: str) -> DataFrame:
+    """Small-graph fast path: the WHOLE edge set through one Arrow task.
+
+    The single-linkage sweep is itself a union-find, so it computes
+    the component structure implicitly — below the single-task routing
+    threshold the usual decomposition (global CC job + component tag
+    join + groupBy shuffle) is three Spark jobs of pure overhead
+    around work one C-kernel task does anyway. Same executor-side
+    path as ``_cc_single_task``: nothing is collected to the driver.
+    Measured (1M records / 5M edges, local[32],
+    tools/envelope_bench.py): giant component 113s -> fused removes
+    the duplicated union pass + 5M-row tag join; clustered graphs
+    below the threshold skip two shuffles of the full edge set.
+    """
+    return (
+        edges_fp.select("src", "dst", "w_fp")
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: sweep_fn(pdf), schema=schema)
+    )
+
+
 def build_merge_edges_sized(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
+    local_threshold: int = 20_000_000,
 ) -> DataFrame:
     """build_merge_edges variant carrying (left_size, right_size) per
-    merge event — same one-CC + per-component Arrow sweep plan."""
+    merge event — same fused-single-task / one-CC-plus-per-component
+    routing."""
+    if local_threshold:
+        n_raw = edges_fp.count()
+        if n_raw <= local_threshold and (
+            max_component_edges is None or n_raw <= max_component_edges
+        ):
+            return _sweep_fused_single_task(
+                edges_fp, _local_single_linkage_sized, MERGE_EDGE_SIZED_SCHEMA
+            )
     comps = connected_components(edges_fp, "src", "dst")
     tagged = edges_fp.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
@@ -147,11 +192,17 @@ def build_merge_edges_sized(
 def build_merge_edges(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
+    local_threshold: int = 20_000_000,
 ) -> DataFrame:
     """edges_fp(src long, dst long, w_fp long) -> merge_edges DataFrame.
 
-    One global CC + one shuffle on component + Arrow-batched local
-    sweeps.
+    Routing (same per-task memory bound as connected_components):
+    graphs up to ``local_threshold`` raw edges run the whole sweep in
+    ONE Arrow task (see _sweep_fused_single_task) — but only when the
+    ``max_component_edges`` guard provably cannot fire (total edges
+    <= cap implies every component is under the cap, so the guard
+    contract is preserved exactly). Larger graphs: one global CC + one
+    shuffle on component + Arrow-batched per-component local sweeps.
 
     ``max_component_edges`` guards the skew failure mode: one giant
     (near-global) component would funnel its whole edge set into a
@@ -160,6 +211,14 @@ def build_merge_edges(
     sweep) and raises with guidance instead of silently serializing.
     Pass None to disable (trusted pre-blocked inputs).
     """
+    if local_threshold:
+        n_raw = edges_fp.count()
+        if n_raw <= local_threshold and (
+            max_component_edges is None or n_raw <= max_component_edges
+        ):
+            return _sweep_fused_single_task(
+                edges_fp, _local_single_linkage, MERGE_EDGE_SCHEMA
+            )
     comps = connected_components(edges_fp, "src", "dst")
     tagged = edges_fp.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
@@ -217,6 +276,8 @@ def memberships_for_grid(
     merge_edges: DataFrame,
     records: DataFrame,
     thresholds_fp: list[int],
+    local_threshold: int = 20_000_000,
+    max_local_cells: int = 50_000_000,
 ) -> DataFrame:
     """A17 sweep support: memberships for a whole threshold grid in ONE
     pass — per-component local reconstruction via cogrouped
@@ -226,29 +287,18 @@ def memberships_for_grid(
     The output is |grid| x n rows; downstream metric sweeps consume it
     with a single grouped aggregation instead of per-threshold jobs
     (SURVEY.md §2.4 A17).
+
+    Routing: when the dendrogram fits one task (merge edges <=
+    ``local_threshold``) AND the output stays bounded (|grid| x
+    records <= ``max_local_cells``), the whole grid reconstruction
+    runs as ONE cogrouped Arrow task — the grid kernel's union-find
+    handles multiple components natively, so the global-CC job and the
+    two component-tag joins are pure overhead at that size. Larger
+    inputs take the per-component parallel path (a 1000-point sweep
+    over 1M records is |grid| x n = 1e9 cells — that MUST fan out).
     """
     grid = sorted({int(t) for t in thresholds_fp}, reverse=True)
-
-    # component id per record over the FULL edge set; isolates get their own
-    all_comps = connected_components(merge_edges, "child", "parent")
-    rec = (
-        records.select("record_id")
-        .dropDuplicates(["record_id"])
-        .join(all_comps.withColumnRenamed("node", "record_id"), "record_id", "left")
-        .select(
-            "record_id", F.coalesce("component", "record_id").alias("_comp")
-        )
-    )
-    # merge edges belong to the component of their parent's root; parent is
-    # not the root in general, so map through all_comps
-    me = (
-        merge_edges.join(
-            all_comps.withColumnRenamed("node", "parent").withColumnRenamed(
-                "component", "_comp"
-            ),
-            "parent",
-        )
-    ).select("_comp", "threshold_fp", "child", "parent")
+    rec0 = records.select("record_id").dropDuplicates(["record_id"])
 
     def per_component(keys: tuple, rec_pdf: pd.DataFrame, me_pdf: pd.DataFrame) -> pd.DataFrame:
         nodes = np.sort(rec_pdf["record_id"].to_numpy(dtype=np.int64))
@@ -310,10 +360,37 @@ def memberships_for_grid(
             )
         return pd.concat(out_frames, ignore_index=True)
 
+    out_schema = "threshold_fp long, record_id long, cluster_id long"
+
+    if local_threshold:
+        n_me = merge_edges.count()
+        n_rec = rec0.count()
+        if n_me <= local_threshold and n_rec * max(len(grid), 1) <= max_local_cells:
+            return (
+                rec0.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .cogroup(merge_edges.withColumn("_g", F.lit(0)).groupBy("_g"))
+                .applyInPandas(per_component, schema=out_schema)
+            )
+
+    # component id per record over the FULL edge set; isolates get their own
+    all_comps = connected_components(merge_edges, "child", "parent")
+    rec = rec0.join(
+        all_comps.withColumnRenamed("node", "record_id"), "record_id", "left"
+    ).select("record_id", F.coalesce("component", "record_id").alias("_comp"))
+    # merge edges belong to the component of their parent's root; parent is
+    # not the root in general, so map through all_comps
+    me = (
+        merge_edges.join(
+            all_comps.withColumnRenamed("node", "parent").withColumnRenamed(
+                "component", "_comp"
+            ),
+            "parent",
+        )
+    ).select("_comp", "threshold_fp", "child", "parent")
+
     return (
         rec.groupBy("_comp")
         .cogroup(me.groupBy("_comp"))
-        .applyInPandas(
-            per_component, schema="threshold_fp long, record_id long, cluster_id long"
-        )
+        .applyInPandas(per_component, schema=out_schema)
     )

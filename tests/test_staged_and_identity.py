@@ -239,3 +239,74 @@ def test_merges_affecting_record_nway(spark):
         # every record sees all three merges of the single 0.8 event
         assert len(ev) == 3, (k, ev)
         assert {round(e["threshold"], 6) for e in ev} == {0.8}
+
+
+def test_simhash_dedup_groups_end_to_end_low_entropy(spark):
+    """VERDICT r3 item 8: dedup_groups over simhash_candidates on a
+    low-entropy corpus of near-identical docs. 50 clusters x 10
+    variants each: within a cluster the docs differ by one trailing
+    token, so bands collide inside (10 <= cap) but the cross-cluster
+    texts are distinct. Candidate count must stay bounded by the
+    within-cluster pairs (no quadratic blow-up across 500 docs) and
+    the folded groups must never span two source clusters."""
+    from entityframe_spark.pipeline.dedup import dedup_groups, simhash_candidates
+
+    docs = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") / 10).cast("long").alias("cluster"),
+            (F.col("id") % 10).alias("variant"),
+        )
+        .select(
+            "doc_id",
+            "cluster",
+            F.concat(
+                F.lit("shared boilerplate preamble common to every document "),
+                F.lit("cluster token "),
+                # cluster-distinct body repeated so it dominates the signature
+                F.repeat(
+                    F.concat(
+                        F.lit("body"), F.col("cluster").cast("string"), F.lit(" ")
+                    ),
+                    12,
+                ),
+                F.lit("variant "),
+                F.col("variant").cast("string"),
+            ).alias("text"),
+        )
+    )
+    cands = simhash_candidates(docs).localCheckpoint(eager=False)
+    n_cands = cands.count()
+    # within-cluster all-pairs is 50 * C(10,2) = 2250; allow a little
+    # cross-cluster band noise but nothing near the 124750 all-pairs
+    assert 0 < n_cands <= 4000, n_cands
+    groups = dedup_groups(cands)
+    joined = groups.join(docs.select("doc_id", "cluster"), "doc_id")
+    spans = (
+        joined.groupBy("group_id")
+        .agg(F.countDistinct("cluster").alias("n_clusters"))
+        .where(F.col("n_clusters") > 1)
+        .count()
+    )
+    assert spans == 0
+    # every group is within one cluster, so there are >= 50 docs' worth
+    # of grouping only if bands actually collided; sanity: some folding
+    assert groups.count() == joined.count()
+
+
+def test_stage_runner_table_naming_round_trip():
+    """Parquet-mode honesty check for the Iceberg seam (VERDICT r3
+    item 7): _table() naming is deterministic and collision-free for
+    distinct workdirs, so the writeTo path would address distinct
+    tables when a catalog exists. No SparkSession needed — catalog
+    probe short-circuits to parquet mode."""
+    from entityframe_spark.pipeline.checkpoint import StageRunner
+
+    r1 = StageRunner(None, "/tmp/ckpt/run_a", iceberg_catalog="cat")
+    r2 = StageRunner(None, "/tmp/ckpt/run_b", iceberg_catalog="cat")
+    assert r1.use_iceberg is False  # probe fails without a live catalog
+    assert r1._table("collapse") == "cat.tmp_ckpt_run_a.collapse"
+    assert r2._table("collapse") == "cat.tmp_ckpt_run_b.collapse"
+    assert r1._table("collapse") != r2._table("collapse")
+    assert r1._table("score") != r1._table("collapse")

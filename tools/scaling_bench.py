@@ -218,20 +218,34 @@ for a 32-thread one. Every allocation-heavy phase (shuffle buffers,
 Arrow batches, JVM GC growth) therefore hits a FIXED floor that does
 not shrink from local[8] to local[32] — an artifact a real N-vs-4N
 EXECUTOR comparison does not have, because each executor brings its
-own memory subsystem. Mitigation shipped in
+own memory subsystem. Two mitigations shipped: (1)
 `entityframe_spark/session.py`: `-XX:+AlwaysPreTouch -Xms=Xmx`
 pre-zeroes the whole heap at JVM startup (one untimed cost) so
-steady-state allocation never faults fresh pages; this halved the
-best 32-core scoring wall (35.0s -> 17.7s on the x8 workload).
-Residual run-to-run variance (co-tenant CPU steal, 2x swings on
-identical code) remains; the best-of-interleaved numbers above are
+steady-state JVM allocation never faults fresh pages — halved the
+best 32-core scoring wall (35.0s -> 17.7s on the x8 workload); (2)
+`entityframe_spark/functions/jw_native.tune_allocator`: python
+workers raise glibc's M_MMAP_THRESHOLD/M_TRIM_THRESHOLD so the
+multi-MB per-batch scoring buffers are reused warm on the heap
+instead of re-mmapped and re-faulted every batch — this took the
+measured N->4N scoring efficiency from 0.786-0.797 to the table
+above. Residual run-to-run variance (co-tenant CPU steal, 2x swings
+on identical code) remains; the best-of-interleaved numbers above are
 the closest available estimate of the machine's true per-level
 throughput.
 
 Run: `python tools/scaling_bench.py {sf_dir} {n}`
 """
+    # Preserve hand-maintained sections (envelope runs, analyses) that
+    # live below the marker — this script owns only the scaling part.
+    marker = "<!-- extra-sections -->"
+    extra = ""
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        if marker in prev:
+            extra = prev[prev.index(marker):]
     with open(out_md, "w") as f:
         f.write(md)
+        f.write("\n" + (extra or marker + "\n"))
     print(f"wrote {out_md}")
 
 
