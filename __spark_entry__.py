@@ -626,6 +626,25 @@ def q_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["threshold", "entropy"])
 
 
+def q_sweep_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection.sweep FAST PATH (max_cells=0 forces the O(m+|grid|)
+    incremental merge-delta route, hierarchy.sweep_stats_from_merges):
+    same grid and oracle as collection_sweep, so the driver verifies
+    the two routes agree with DuckDB independently."""
+    from entityframe_spark.operators.collection import Collection
+
+    edges = _supplier_edges(spark, sf_dir)
+    coll = Collection.from_edges(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+            (F.col("w_fp") / 1_000_000.0).alias("weight"),
+        )
+    )
+    out = coll.sweep(0.2, 0.8, 0.3, max_cells=0)
+    return _round6(out, ["threshold", "entropy"])
+
+
 # fixed near-dup corpus for the simhash oracle: three long base
 # sentences with one-token edits (small hamming) plus unrelated texts
 _SIMHASH_BASE1 = (
@@ -763,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "entity_set_metrics": q_entity_set_metrics,
         "collection_sweep": q_collection_sweep,
+        "sweep_incremental": q_sweep_incremental,
         "staged_resolution": q_staged_resolution,
     }
 
@@ -1081,6 +1101,9 @@ def oracle_sql() -> dict[str, str]:
         + ")"
         for t in (200_000, 500_000, 800_000)
     )
+    # the incremental fast path must reproduce the same per-threshold
+    # stats; verifying both routes against the same independent oracle
+    sqls["sweep_incremental"] = sqls["collection_sweep"]
 
     return sqls
 

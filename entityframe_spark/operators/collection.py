@@ -59,6 +59,7 @@ class Collection:
         # true LRU (move-to-end on hit, evict oldest), matching the
         # reference's partition cache semantics (builder.rs:41,264-273)
         self._cache: OrderedDict[int, DataFrame] = OrderedDict()
+        self._n_records: int | None = None
         # merge-forest components, computed lazily on the first
         # merges_affecting_record point lookup and reused after
         # (merge_edges is immutable per Collection instance)
@@ -154,6 +155,7 @@ class Collection:
             cached.unpersist()
         self._cache.clear()
         self.records = records
+        self._n_records = None
 
     # -- queries -----------------------------------------------------------
 
@@ -325,17 +327,54 @@ class Collection:
         fps = [threshold_to_fp(t) for t in thresholds]
         return hierarchy.memberships_for_grid(self.merge_edges, self.records, fps)
 
-    def sweep(self, start: float, stop: float, step: float) -> DataFrame:
+    def sweep(
+        self, start: float, stop: float, step: float, max_cells: int = 50_000_000
+    ) -> DataFrame:
         """Collection.sweep (interface.md:404-419): per-threshold stats
         over an inclusive grid, all from ONE dendrogram pass.
         Returns DataFrame(threshold double, entity_count long,
-        entropy double) ordered by threshold."""
+        entropy double) ordered by threshold.
+
+        Routing: when |grid| x records exceeds ``max_cells`` the stats
+        come from the O(m + |grid|) incremental merge-delta path
+        (hierarchy.sweep_stats_from_merges) — a 1000-point sweep over
+        1M records is 1e9 membership cells, which no fan-out should
+        materialise for two scalars per threshold. Small sweeps keep
+        the membership path (no extra replay pass)."""
         if step <= 0:
             raise ValueError("step must be positive")
         pts, t = [], float(start)
         while t <= stop + 1e-9:
             pts.append(round(t, 9))
             t += step
+        if self._n_records is None:
+            self._n_records = self.records.select("record_id").distinct().count()
+        n_records = self._n_records
+        if len(pts) * n_records > max_cells:
+            # replay the dendrogram itself through the sized sweep to
+            # recover (left_size, right_size): merge edges are a
+            # spanning structure, so the replay unions are the same
+            # events; per-threshold delta SUMS are path-independent
+            # (entropy at t depends only on the partition at t)
+            sized = hierarchy.build_merge_edges_sized(
+                self.merge_edges.select(
+                    F.col("child").alias("src"),
+                    F.col("parent").alias("dst"),
+                    F.col("threshold_fp").alias("w_fp"),
+                )
+            )
+            fps = [threshold_to_fp(p) for p in pts]
+            return (
+                hierarchy.sweep_stats_from_merges(sized, n_records, fps)
+                .select(
+                    (
+                        F.col("threshold_fp") / F.lit(float(PRECISION_FACTOR))
+                    ).alias("threshold"),
+                    "entity_count",
+                    F.round("entropy", 9).alias("entropy"),
+                )
+                .orderBy("threshold")
+            )
         mem = self.memberships_for_grid(pts)
         sizes = mem.groupBy("threshold_fp", "cluster_id").agg(
             F.count(F.lit(1)).alias("sz")

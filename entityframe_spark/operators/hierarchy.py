@@ -167,10 +167,13 @@ def build_merge_edges_sized(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
     local_threshold: int = 20_000_000,
+    cc_local_threshold: int | None = None,
 ) -> DataFrame:
     """build_merge_edges variant carrying (left_size, right_size) per
     merge event — same fused-single-task / one-CC-plus-per-component
-    routing."""
+    routing. ``cc_local_threshold`` (None = CC default) forwards to
+    connected_components so benchmarks can force the distributed
+    alternating-star path."""
     if local_threshold:
         n_raw = edges_fp.count()
         if n_raw <= local_threshold and (
@@ -179,7 +182,8 @@ def build_merge_edges_sized(
             return _sweep_fused_single_task(
                 edges_fp, _local_single_linkage_sized, MERGE_EDGE_SIZED_SCHEMA
             )
-    comps = connected_components(edges_fp, "src", "dst")
+    cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
+    comps = connected_components(edges_fp, "src", "dst", **cc_kw)
     tagged = edges_fp.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
         "src",
@@ -193,6 +197,7 @@ def build_merge_edges(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
     local_threshold: int = 20_000_000,
+    cc_local_threshold: int | None = None,
 ) -> DataFrame:
     """edges_fp(src long, dst long, w_fp long) -> merge_edges DataFrame.
 
@@ -219,7 +224,8 @@ def build_merge_edges(
             return _sweep_fused_single_task(
                 edges_fp, _local_single_linkage, MERGE_EDGE_SCHEMA
             )
-    comps = connected_components(edges_fp, "src", "dst")
+    cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
+    comps = connected_components(edges_fp, "src", "dst", **cc_kw)
     tagged = edges_fp.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
         "src",
@@ -393,4 +399,81 @@ def memberships_for_grid(
         rec.groupBy("_comp")
         .cogroup(me.groupBy("_comp"))
         .applyInPandas(per_component, schema=out_schema)
+    )
+
+
+def sweep_stats_from_merges(
+    sized_merge_edges: DataFrame,
+    n_records: int,
+    grid_fps: list[int],
+) -> DataFrame:
+    """Per-threshold (entity_count, entropy) for a whole grid from the
+    SIZED merge events alone — O(m + |grid|) instead of the
+    memberships path's O(|grid| x n) rows.
+
+    Each merge event replaces two clusters of sizes (a, b) with one of
+    size a+b, so with p_s = s/N the entropy delta is closed-form:
+        dH = (a/N)ln(a/N) + (b/N)ln(b/N) - ((a+b)/N)ln((a+b)/N)
+    and the entity count drops by exactly 1. Starting from N
+    singletons (H = ln N, count = N) and accumulating deltas over
+    events with threshold_fp >= t gives the exact stats at every t —
+    the same inclusive semantics as partition_at (builder.rs:291).
+    Isolated records never appear in events and stay singletons, which
+    the N-singleton start already accounts for.
+
+    Scale shape: one groupBy(threshold_fp) partial-aggregates the m
+    events down to <= PRECISION_FACTOR+1 distinct-threshold rows
+    map-side; the running sum then runs in ONE ordered window over
+    those rows plus |grid| sentinel rows — bounded by the quantisation
+    grid (1e6), NOT by records or events, so the single-partition
+    window is safe at any data scale. Grid sentinels sort AFTER real
+    events at the same threshold (inclusive >= t).
+    """
+    spark = sized_merge_edges.sparkSession
+    n = float(max(n_records, 1))
+    ln_n = float(np.log(n)) if n_records > 0 else 0.0
+
+    a = F.col("left_size").cast("double") / F.lit(n)
+    b = F.col("right_size").cast("double") / F.lit(n)
+    c = (F.col("left_size") + F.col("right_size")).cast("double") / F.lit(n)
+    d_h = a * F.log(a) + b * F.log(b) - c * F.log(c)
+
+    per_t = (
+        sized_merge_edges.select(F.col("threshold_fp"), d_h.alias("_dh"))
+        .groupBy("threshold_fp")
+        .agg(F.sum("_dh").alias("dH"), F.count(F.lit(1)).alias("dC"))
+        .select("threshold_fp", F.lit(0).alias("_is_grid"), "dH", "dC")
+    )
+    grid_rows = spark.createDataFrame(
+        [(int(t),) for t in sorted({int(t) for t in grid_fps})],
+        "threshold_fp long",
+    ).select(
+        "threshold_fp",
+        F.lit(1).alias("_is_grid"),
+        F.lit(0.0).alias("dH"),
+        F.lit(0).alias("dC"),
+    )
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("threshold_fp").desc(), F.col("_is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_t.unionAll(grid_rows)
+        .select(
+            "threshold_fp",
+            "_is_grid",
+            F.sum("dH").over(w).alias("_cumH"),
+            F.sum("dC").over(w).alias("_cumC"),
+        )
+        .where(F.col("_is_grid") == 1)
+        .select(
+            "threshold_fp",
+            (F.lit(int(n_records)) - F.col("_cumC")).alias("entity_count"),
+            F.when(F.lit(n_records) > 0, F.lit(ln_n) + F.col("_cumH"))
+            .otherwise(F.lit(0.0))
+            .alias("entropy"),
+        )
     )

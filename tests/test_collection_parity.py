@@ -194,3 +194,22 @@ def test_at_matches_grid(kitchen_sink, sink_grid):
         assert got == sink_grid[t], f"at({t}) mismatch"
     got2 = clusters_as_sets(coll.at(0.7), coll.records)
     assert got2 == sink_grid[0.7]
+
+
+def test_sweep_fast_path_matches_membership_path(kitchen_sink):
+    """The O(m) incremental merge-delta sweep must agree with the
+    membership-materialising sweep on counts exactly and on entropy to
+    float tolerance (max_cells=0 forces the fast route)."""
+    coll, _ = kitchen_sink
+    slow = {
+        round(r["threshold"], 9): (r["entity_count"], r["entropy"])
+        for r in coll.sweep(0.4, 1.0, 0.05).collect()
+    }
+    fast = {
+        round(r["threshold"], 9): (r["entity_count"], r["entropy"])
+        for r in coll.sweep(0.4, 1.0, 0.05, max_cells=0).collect()
+    }
+    assert slow.keys() == fast.keys()
+    for t in slow:
+        assert slow[t][0] == fast[t][0], (t, slow[t], fast[t])
+        assert abs(slow[t][1] - fast[t][1]) < 1e-8, (t, slow[t], fast[t])
