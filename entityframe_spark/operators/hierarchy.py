@@ -21,9 +21,12 @@ min record id, so representatives are deterministic). Properties:
 Build strategy (one global shuffle + Arrow-batched local work):
 1. global connected components over ALL edges (the t=0 partition);
    every later computation is independent per component;
-2. per-component local single-linkage sweep in applyInPandas — exact
-   reference semantics (descending thresholds, n-way merges at equal
-   threshold, union-by-min) with zero global iteration.
+2. component-partitioned local single-linkage sweep — hash-shuffle on
+   component, ONE union-find kernel run per ~5M-edge partition
+   (mapInPandas; components never interact, so batching whole
+   components per task is semantics-free) — exact reference semantics
+   (descending thresholds, n-way merges at equal threshold,
+   union-by-min) with zero global iteration.
 
 This is the reference's own designed "blocked parallel hierarchies"
 (docs/design/algorithms.md:789-799) expressed in Spark. Skewed/giant
@@ -163,19 +166,52 @@ def _sweep_fused_single_task(edges_fp: DataFrame, sweep_fn, schema: str) -> Data
     )
 
 
+def _sweep_partitioned(
+    tagged: DataFrame, sweep_fn, schema: str, n_edges: int, edges_per_task: int
+) -> DataFrame:
+    """Component-partitioned sweep: hash-shuffle on ``_comp`` into
+    ceil(n_edges / edges_per_task) partitions and run the union-find
+    kernel ONCE PER PARTITION (mapInPandas), not once per component.
+
+    Single-linkage components never interact, and the content-based
+    edge total order (-w_fp, src, dst) makes the event sequence
+    per-component deterministic regardless of which other components
+    share the task — so batching whole components per task is
+    semantics-free. It removes the per-GROUP Python/pandas dispatch
+    that dominates post-blocking graphs (realistic shape: millions of
+    ~10-edge components; groupBy().applyInPandas() pays ~ms per group
+    -> minutes of pure overhead at 10M records, measured in
+    tools/envelope_bench.py). Per-task memory is bounded by
+    ``edges_per_task`` (plus any single component exceeding it, which
+    hash partitioning cannot split — exactly what max_component_edges
+    guards)."""
+    n_parts = max(1, -(-n_edges // max(edges_per_task, 1)))
+    cols = ["src", "dst", "w_fp"]
+
+    def run(batches):
+        pdfs = [b[cols] for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield sweep_fn(pdf)
+
+    return tagged.repartition(n_parts, "_comp").mapInPandas(run, schema=schema)
+
+
 def build_merge_edges_sized(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
     local_threshold: int = 20_000_000,
     cc_local_threshold: int | None = None,
+    edges_per_task: int = 5_000_000,
 ) -> DataFrame:
     """build_merge_edges variant carrying (left_size, right_size) per
-    merge event — same fused-single-task / one-CC-plus-per-component
+    merge event — same fused-single-task / one-CC-plus-partitioned
     routing. ``cc_local_threshold`` (None = CC default) forwards to
     connected_components so benchmarks can force the distributed
     alternating-star path."""
+    n_raw = edges_fp.count()
     if local_threshold:
-        n_raw = edges_fp.count()
         if n_raw <= local_threshold and (
             max_component_edges is None or n_raw <= max_component_edges
         ):
@@ -188,8 +224,9 @@ def build_merge_edges_sized(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "_comp"),
         "src",
     ).select("_comp", "src", "dst", "w_fp")
-    return tagged.groupBy("_comp").applyInPandas(
-        lambda pdf: _local_single_linkage_sized(pdf), schema=MERGE_EDGE_SIZED_SCHEMA
+    return _sweep_partitioned(
+        tagged, _local_single_linkage_sized, MERGE_EDGE_SIZED_SCHEMA,
+        n_raw, edges_per_task,
     )
 
 
@@ -198,6 +235,7 @@ def build_merge_edges(
     max_component_edges: int | None = 10_000_000,
     local_threshold: int = 20_000_000,
     cc_local_threshold: int | None = None,
+    edges_per_task: int = 5_000_000,
 ) -> DataFrame:
     """edges_fp(src long, dst long, w_fp long) -> merge_edges DataFrame.
 
@@ -207,7 +245,8 @@ def build_merge_edges(
     ``max_component_edges`` guard provably cannot fire (total edges
     <= cap implies every component is under the cap, so the guard
     contract is preserved exactly). Larger graphs: one global CC + one
-    shuffle on component + Arrow-batched per-component local sweeps.
+    component-partitioned shuffle + ONE union-find kernel run per
+    ~``edges_per_task``-edge partition (see _sweep_partitioned).
 
     ``max_component_edges`` guards the skew failure mode: one giant
     (near-global) component would funnel its whole edge set into a
@@ -216,8 +255,8 @@ def build_merge_edges(
     sweep) and raises with guidance instead of silently serializing.
     Pass None to disable (trusted pre-blocked inputs).
     """
+    n_raw = edges_fp.count()
     if local_threshold:
-        n_raw = edges_fp.count()
         if n_raw <= local_threshold and (
             max_component_edges is None or n_raw <= max_component_edges
         ):
@@ -248,8 +287,8 @@ def build_merge_edges(
                 "upstream (smaller blocks / drop hot LSH bands), raise the "
                 "cap, or pass max_component_edges=None to force it."
             )
-    return tagged.groupBy("_comp").applyInPandas(
-        lambda pdf: _local_single_linkage(pdf), schema=MERGE_EDGE_SCHEMA
+    return _sweep_partitioned(
+        tagged, _local_single_linkage, MERGE_EDGE_SCHEMA, n_raw, edges_per_task
     )
 
 
@@ -300,8 +339,11 @@ def memberships_for_grid(
     runs as ONE cogrouped Arrow task — the grid kernel's union-find
     handles multiple components natively, so the global-CC job and the
     two component-tag joins are pure overhead at that size. Larger
-    inputs take the per-component parallel path (a 1000-point sweep
-    over 1M records is |grid| x n = 1e9 cells — that MUST fan out).
+    inputs fan out over hash-BUCKETED components (one kernel run per
+    bucket, per-task cells bounded by ``max_local_cells``) — a
+    1000-point sweep over 1M records is |grid| x n = 1e9 cells, which
+    MUST fan out. For count/entropy-only sweeps prefer
+    sweep_stats_from_merges, which never materialises cells at all.
     """
     grid = sorted({int(t) for t in thresholds_fp}, reverse=True)
     rec0 = records.select("record_id").dropDuplicates(["record_id"])
@@ -368,9 +410,9 @@ def memberships_for_grid(
 
     out_schema = "threshold_fp long, record_id long, cluster_id long"
 
+    n_me = merge_edges.count()
+    n_rec = rec0.count()
     if local_threshold:
-        n_me = merge_edges.count()
-        n_rec = rec0.count()
         if n_me <= local_threshold and n_rec * max(len(grid), 1) <= max_local_cells:
             return (
                 rec0.withColumn("_g", F.lit(0))
@@ -395,9 +437,25 @@ def memberships_for_grid(
         )
     ).select("_comp", "threshold_fp", "child", "parent")
 
+    # bucket whole components by hash so each cogroup task reconstructs
+    # MANY components in one kernel run (the grid kernel handles
+    # multi-component batches natively — the fused path above IS that).
+    # Cogrouping on raw _comp paid a per-GROUP pandas dispatch: at 10M
+    # records / 1M tiny post-blocking components that is minutes of
+    # pure overhead. Bucket count bounds per-task output cells
+    # (|grid| x nodes_in_bucket <= max_local_cells) and per-task input
+    # edges; hash partitioning cannot split one component, which is
+    # the documented giant-component caveat.
+    n_buckets = max(
+        1,
+        -(-(n_rec * max(len(grid), 1)) // max(max_local_cells, 1)),
+        -(-n_me // 5_000_000),
+    )
+    b = F.pmod(F.xxhash64(F.col("_comp")), F.lit(int(n_buckets))).alias("_b")
     return (
-        rec.groupBy("_comp")
-        .cogroup(me.groupBy("_comp"))
+        rec.select("record_id", "_comp", b)
+        .groupBy("_b")
+        .cogroup(me.select("threshold_fp", "child", "parent", "_comp", b).groupBy("_b"))
         .applyInPandas(per_component, schema=out_schema)
     )
 

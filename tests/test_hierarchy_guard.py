@@ -62,3 +62,63 @@ def test_intern_records_dense_no_single_partition_exchange(spark):
     )
     plan = intern_records(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_partitioned_sweep_matches_fused(spark):
+    """The component-partitioned mapInPandas sweep (distributed route,
+    many small partitions) must emit EXACTLY the fused single-task
+    path's merge events — same content-based tie order, components
+    batched per task without interaction. Graph: 40 clusters of 6
+    nodes with duplicate weights (tie-order stress) + isolates."""
+    from entityframe_spark.operators.hierarchy import (
+        build_merge_edges,
+        build_merge_edges_sized,
+    )
+
+    edges = spark.range(600).select(
+        (F.col("id") % 40 * 6 + F.col("id") % 5).alias("src"),
+        (F.col("id") % 40 * 6 + (F.col("id") * 7 + 1) % 6).alias("dst"),
+        ((F.col("id") * 13) % 7 * 100_000 + 100_000).alias("w_fp"),
+    ).where(F.col("src") != F.col("dst"))
+
+    fused = build_merge_edges(edges).collect()
+    dist = build_merge_edges(
+        edges, local_threshold=0, cc_local_threshold=0, edges_per_task=50
+    ).collect()
+    key = lambda r: (r["threshold_fp"], r["child"], r["parent"])
+    assert sorted(map(key, fused)) == sorted(map(key, dist))
+
+    fused_s = build_merge_edges_sized(edges).collect()
+    dist_s = build_merge_edges_sized(
+        edges, local_threshold=0, cc_local_threshold=0, edges_per_task=50
+    ).collect()
+    key_s = lambda r: tuple(r[c] for c in
+                            ("threshold_fp", "child", "parent", "left_size", "right_size"))
+    assert sorted(map(key_s, fused_s)) == sorted(map(key_s, dist_s))
+
+
+def test_bucketed_grid_memberships_match_local(spark):
+    """The hash-bucketed distributed grid reconstruction must emit the
+    same (threshold, record, cluster) cells as the fused local route,
+    including isolates, across several buckets."""
+    from entityframe_spark.operators.hierarchy import (
+        build_merge_edges,
+        memberships_for_grid,
+    )
+
+    edges = spark.range(300).select(
+        (F.col("id") % 30 * 8 + F.col("id") % 7).alias("src"),
+        (F.col("id") % 30 * 8 + (F.col("id") * 3 + 1) % 8).alias("dst"),
+        ((F.col("id") * 11) % 9 * 100_000 + 50_000).alias("w_fp"),
+    ).where(F.col("src") != F.col("dst"))
+    records = spark.range(30 * 8 + 5).select(F.col("id").alias("record_id"))
+    me = build_merge_edges(edges).localCheckpoint(eager=True)
+    grid = [200_000, 500_000, 800_000]
+
+    local = memberships_for_grid(me, records, grid).collect()
+    dist = memberships_for_grid(
+        me, records, grid, local_threshold=0, max_local_cells=100
+    ).collect()
+    key = lambda r: (r["threshold_fp"], r["record_id"], r["cluster_id"])
+    assert sorted(map(key, local)) == sorted(map(key, dist))
+    assert len(local) == len(grid) * (30 * 8 + 5)
