@@ -179,6 +179,35 @@ def connected_components(
         e0.unpersist()
         return e0.sparkSession.createDataFrame([], "node long, component long")
 
+    # Per-round checkpoint blocks must be RELEASED as rounds supersede
+    # each other: localCheckpoint persists ~|E| rows per round and the
+    # loop runs O(log^2 n) rounds, so keeping them all grows block-
+    # manager storage linearly with rounds — measured as a 16g-heap OOM
+    # at 50M edges / ~25 rounds (tools/envelope_bench.py giant shape);
+    # on a real cluster the same leak inflates executor storage until
+    # eviction thrash. Persistent-RDD ids increase monotonically, so
+    # after each round's signature job materialises its checkpoint we
+    # drop every loop-created id except the newest (the current round).
+    # Caller/base persists (e0 etc.) are protected by the baseline set.
+    sc = e0.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        try:
+            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        except Exception:
+            return set()  # API drift: degrade to the old keep-all behavior
+
+    def _unpersist_ids(ids: set[int]) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                rdd = jmap.get(i)
+                if rdd is not None:
+                    rdd.unpersist(False)
+        except Exception:
+            pass
+
+    baseline = _persistent_ids()
     e = e0.localCheckpoint(eager=False)
     sig = _signature(e)
     try:
@@ -187,6 +216,9 @@ def connected_components(
             # it, cutting lineage without computing the round twice
             e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             new_sig = _signature(e)
+            loop_ids = _persistent_ids() - baseline
+            if len(loop_ids) > 1:
+                _unpersist_ids(loop_ids - {max(loop_ids)})
             if new_sig == sig:
                 break
             sig = new_sig

@@ -91,3 +91,25 @@ def test_blocked_components(spark):
         frozenset({1, 2, 3}),
         frozenset({10, 11}),
     }
+
+
+def test_distributed_rounds_release_storage(spark):
+    """The alternating-star loop must NOT accumulate one persisted
+    checkpoint per round (measured as a 16g-heap OOM at 50M edges /
+    ~25 rounds): after convergence at most ONE loop checkpoint — the
+    final round the result reads from — may remain persistent."""
+    from entityframe_spark.operators.components import connected_components
+
+    sc = spark.sparkContext
+
+    def pids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = pids()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    out = connected_components(edges, local_threshold=0)
+    assert out.count() == 301  # many rounds ran (300-node chain)
+    leaked = pids() - before
+    assert len(leaked) <= 1, f"CC loop leaked {len(leaked)} persistent RDDs"

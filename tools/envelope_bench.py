@@ -140,15 +140,22 @@ def main() -> None:
 
     shapes = os.environ.get("ENVELOPE_SHAPES", "clustered,giant_component").split(",")
     results = []
+
+    def done(r: dict) -> None:
+        # incremental: a later shape crashing (OOM, co-tenant kill) must
+        # not lose completed shapes' numbers
+        results.append(r)
+        print("SHAPE_DONE " + json.dumps(r), flush=True)
+
     if "clustered" in shapes:
-        results.append(
+        done(
             run_shape(
                 spark, "clustered", clustered_edges(spark, n_records, n_edges), reps,
                 n_records=n_records,
             )
         )
     if "giant_component" in shapes:
-        results.append(
+        done(
             run_shape(
                 spark,
                 "giant_component",
@@ -162,7 +169,7 @@ def main() -> None:
         # VERDICT r3 Missing #4: exercise the distributed alternating-
         # star CC at scale (both fast-path thresholds forced off), the
         # plan shape a >20M-edge graph takes on a real cluster.
-        results.append(
+        done(
             run_shape(
                 spark,
                 "clustered_distcc",
