@@ -18,6 +18,9 @@ parallel hierarchies", docs/design/algorithms.md:789-799).
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -42,11 +45,32 @@ def local_component_labels(
     single-task throughput bound at the 10M-edge component cap —
     VERDICT r3), numpy/Python union-find fallback otherwise. Both
     paths: union by min node id -> deterministic min-id labels."""
-    nodes = np.unique(np.concatenate([src, dst]))
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    if len(src) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     if uf_native.native_available():
-        si = np.searchsorted(nodes, np.asarray(src, dtype=np.int64))
-        di = np.searchsorted(nodes, np.asarray(dst, dtype=np.int64))
+        # dense-id fast path (same bound as hierarchy._sweep_arrays):
+        # interned ids are 0..n-1, so when the id span fits ~2m the
+        # kernel indexes them directly and a boolean presence mask
+        # replaces the O(m log m) unique + 2x searchsorted that
+        # dominate large batches on this host (fresh-page confounder,
+        # BENCH.md). min-index unions == min-id unions holds trivially
+        # under the identity mapping.
+        lo = min(int(src.min()), int(dst.min()))
+        span = max(int(src.max()), int(dst.max())) + 1
+        if lo >= 0 and span <= 2 * len(src) + 16:
+            roots = uf_native.components_native(src, dst, span)
+            present = np.zeros(span, dtype=bool)
+            present[src] = True
+            present[dst] = True
+            nodes = np.flatnonzero(present)
+            return nodes, roots[nodes]
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
         return nodes, nodes[uf_native.components_native(si, di, len(nodes))]
+    nodes = np.unique(np.concatenate([src, dst]))
     return nodes, union_find_numpy(src, dst, nodes)
 
 
@@ -126,6 +150,91 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
     )
 
 
+def _contract_partitions(e_uv: DataFrame, n_parts: int | None) -> DataFrame:
+    """One NARROW local-contraction pass: optionally coalesce to
+    ``n_parts`` (no shuffle), then replace every partition's edge set
+    with its star forest — one (root=min id, member) row per non-root
+    node of each in-task component, computed by the C union-find
+    kernel. Connectivity-preserving by construction (the star edges
+    connect exactly the node sets the input edges connected, within
+    each task; cross-task connectivity survives because shared nodes
+    carry their roots together downstream). Output per task is
+    ``distinct local nodes - local components`` rows, i.e. bounded by
+    NODE count however many parallel/duplicate edges arrive."""
+    if n_parts is not None:
+        e_uv = e_uv.coalesce(n_parts)
+
+    def contract(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["u"].to_numpy(dtype=np.int64))
+                dsts.append(pdf["v"].to_numpy(dtype=np.int64))
+        if not srcs:
+            return
+        src = np.concatenate(srcs) if len(srcs) > 1 else srcs[0]
+        dst = np.concatenate(dsts) if len(dsts) > 1 else dsts[0]
+        nodes, comp = local_component_labels(src, dst)
+        mask = comp != nodes
+        yield pd.DataFrame({"u": comp[mask], "v": nodes[mask]})
+
+    return e_uv.mapInPandas(contract, schema="u long, v long")
+
+
+def _contract_cascade(
+    e_uv: DataFrame, n_raw: int, local_threshold: int, max_passes: int = 8
+) -> tuple[DataFrame, int, DataFrame]:
+    """Contraction cascade: repeated narrow passes of
+    ``_contract_partitions``, coalescing ~4x fewer partitions each
+    time, until the surviving star forest fits ONE exact kernel task
+    (<= local_threshold rows) or the partition count can no longer
+    drop. Edge count converges toward (nodes - components) — a
+    function of NODE count, so graphs whose edge multiplicity (not
+    node count) pushed them past the single-task bound collapse back
+    under it without any distributed rounds. Partition count is
+    floored at ceil(rows / local_threshold) so no task ever receives
+    more than the single-task memory bound.
+
+    The stall test is on PARTITION count, not row count: with P
+    partitions the pass emits sum_p(local_nodes_p - local_comps_p), so
+    a node in k tasks contributes up to k rows. As P drops, cross-task
+    multiplicity falls but local components merge (fewer roots -> MORE
+    member rows), so the row count is not monotone on tree-ish graphs
+    even while it converges to n - c at P=1 (r4 bug: an n_star>=n_prev
+    break here sent the 10M-chain giant envelope back to ~25
+    alternating-star rounds). Re-contracting an UNCHANGED partitioning
+    is idempotent — shrink only ever comes from coalescing — so "parts
+    can't decrease" is the exact stall condition: it means node count
+    itself exceeds the single-task bound (the true cluster-scale case)
+    and the distributed rounds take over. Passes are bounded by
+    log4(initial partitions) regardless of max_passes.
+
+    Returns (star_edges, row_count, persisted_handle) — caller must
+    unpersist the handle once the result is consumed/materialised."""
+    log = os.environ.get("EF_CC_LOG", "") not in ("", "0")
+    cur, cached = e_uv, None
+    n_star, parts = n_raw, None
+    for i in range(max_passes):
+        nxt = _contract_partitions(cur, parts).persist()
+        n_star = nxt.count()
+        if cached is not None:
+            cached.unpersist()
+        cur = cached = nxt
+        cur_parts = cur.rdd.getNumPartitions()
+        if log:
+            print(
+                f"[ef-cc] cascade pass {i}: rows={n_star} parts={cur_parts}",
+                file=sys.stderr,
+            )
+        if n_star <= local_threshold or n_star == 0:
+            return cur, n_star, cached
+        floor_parts = -(-n_star // local_threshold)
+        parts = max(floor_parts, cur_parts // 4)
+        if parts >= cur_parts:
+            break  # can't coalesce further: node count itself above the bound
+    return cur, n_star, cached
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -157,6 +266,7 @@ def connected_components(
     sel = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).where(F.col("src") != F.col("dst"))
+    star_cache = None
     if local_threshold:
         # raw-count probe: one scan+agg, NO shuffle (the old flow paid
         # the full canonical-dedup shuffle just to decide the route)
@@ -167,6 +277,28 @@ def connected_components(
             return _cc_single_task(
                 sel.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             ).localCheckpoint(eager=True)
+        # above the single-task bound: contraction cascade first. A few
+        # narrow kernel passes shrink the edge set toward NODE count;
+        # if the remainder fits one task the exact kernel finishes
+        # (measured: the 10M-record/50M-edge giant-component envelope
+        # ran ~25 alternating-star rounds = 690s before this path), and
+        # only a cascade that stalls above the bound — node count
+        # itself beyond one task's memory, the true cluster-scale case
+        # — pays for the distributed rounds, now over the contracted
+        # (smaller, star-shaped, low-diameter) edge set.
+        star, n_star, star_cache = _contract_cascade(
+            sel.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            n_raw,
+            local_threshold,
+        )
+        if n_star == 0:
+            star_cache.unpersist()
+            return sel.sparkSession.createDataFrame([], "node long, component long")
+        if n_star <= local_threshold:
+            out = _cc_single_task(star).localCheckpoint(eager=True)
+            star_cache.unpersist()
+            return out
+        sel = star.select(F.col("u").alias("src"), F.col("v").alias("dst"))
 
     e = _canonical(sel)
     # persist so the size-probe job and the actual traversal share one
@@ -175,6 +307,8 @@ def connected_components(
     # executor storage over a session
     e0 = e.persist()
     n_edges = e0.count()
+    if star_cache is not None:
+        star_cache.unpersist()  # e0 is materialised; cascade cache done
     if n_edges == 0:
         e0.unpersist()
         return e0.sparkSession.createDataFrame([], "node long, component long")

@@ -78,6 +78,35 @@ def test_random_graphs_match_union_find(spark):
             assert _cc_sets(spark, edges, local_threshold=0) == want
 
 
+def test_contract_cascade_routes_match_union_find(spark):
+    """Graphs above local_threshold now take the contraction cascade
+    first. Both cascade exits must stay exact: (a) shrink-below-bound
+    -> final single kernel task; (b) stall (tree-shaped, node count
+    itself above the bound) -> distributed rounds over the contracted
+    star forest."""
+    rng = np.random.default_rng(7)
+    # (a) heavy parallel/duplicate edges: 1200 raw edges over 60 nodes
+    # collapse under contraction to <60 star edges
+    src = rng.integers(0, 60, 1200)
+    dst = rng.integers(0, 60, 1200)
+    edges = [(int(a), int(b)) for a, b in zip(src, dst) if a != b]
+    nodes = np.unique([x for e in edges for x in e])
+    labels = union_find_numpy(
+        np.array([e[0] for e in edges]), np.array([e[1] for e in edges]), nodes
+    )
+    expected = {}
+    for node, lab in zip(nodes, labels):
+        expected.setdefault(int(lab), set()).add(int(node))
+    want = {frozenset(v) for v in expected.values()}
+    assert _cc_sets(spark, edges, local_threshold=100) == want
+
+    # (b) a 400-node path is already a spanning forest — contraction
+    # cannot shrink it below ~n, so the cascade stalls above the bound
+    # and hands the star forest to the alternating-star rounds
+    chain = [(i, i + 1) for i in range(400)]
+    assert _cc_sets(spark, chain, local_threshold=50) == {frozenset(range(401))}
+
+
 def test_blocked_components(spark):
     df = spark.createDataFrame(
         [("b1", 1, 2), ("b1", 2, 3), ("b2", 10, 11)],
