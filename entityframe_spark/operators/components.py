@@ -23,8 +23,29 @@ import sys
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Arrow batches yielded back to the JVM are capped at this many rows
+# (~64 MB per long column): one task's whole result as a single batch
+# put 200-300 MB contiguous allocations + copies on the 16g shared
+# local-mode heap and OOMed the 10M/50M envelope (GCLocker thrash).
+_YIELD_CHUNK = 4_000_000
+
+# Results/checkpoints bigger than this go to DISK_ONLY instead of the
+# default deserialized-on-heap storage: 45M UnsafeRow copies ~= 4-5 GB
+# of heap, vs a sequential local-disk write the kernel page cache
+# mostly absorbs. On a real cluster this is per-executor storage
+# memory; the same courtesy applies.
+_DISK_LEVEL_ROWS = 5_000_000
+
+
+def _ckpt_level(approx_rows: int) -> StorageLevel | None:
+    """Storage level for a localCheckpoint sized ~approx_rows: None
+    (engine default, on-heap) for small results, DISK_ONLY past
+    _DISK_LEVEL_ROWS."""
+    return StorageLevel.DISK_ONLY if approx_rows > _DISK_LEVEL_ROWS else None
 
 from entityframe_spark.functions import uf_native
 from entityframe_spark.functions.jw_native import tune_allocator
@@ -139,15 +160,27 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
     collected to the driver.
     """
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes, comp = local_component_labels(pdf["u"].values, pdf["v"].values)
-        return pd.DataFrame({"node": nodes, "component": comp})
+    def run(batches):
+        us, vs = [], []
+        for pdf in batches:
+            if len(pdf):
+                us.append(pdf["u"].to_numpy(dtype=np.int64))
+                vs.append(pdf["v"].to_numpy(dtype=np.int64))
+        if not us:
+            return
+        nodes, comp = local_component_labels(
+            np.concatenate(us) if len(us) > 1 else us[0],
+            np.concatenate(vs) if len(vs) > 1 else vs[0],
+        )
+        for i in range(0, len(nodes), _YIELD_CHUNK):
+            yield pd.DataFrame(
+                {
+                    "node": nodes[i : i + _YIELD_CHUNK],
+                    "component": comp[i : i + _YIELD_CHUNK],
+                }
+            )
 
-    return (
-        e.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(run, schema="node long, component long")
-    )
+    return e.repartition(1).mapInPandas(run, schema="node long, component long")
 
 
 def _contract_partitions(e_uv: DataFrame, n_parts: int | None) -> DataFrame:
@@ -176,7 +209,11 @@ def _contract_partitions(e_uv: DataFrame, n_parts: int | None) -> DataFrame:
         dst = np.concatenate(dsts) if len(dsts) > 1 else dsts[0]
         nodes, comp = local_component_labels(src, dst)
         mask = comp != nodes
-        yield pd.DataFrame({"u": comp[mask], "v": nodes[mask]})
+        roots, members = comp[mask], nodes[mask]
+        for i in range(0, len(members), _YIELD_CHUNK):
+            yield pd.DataFrame(
+                {"u": roots[i : i + _YIELD_CHUNK], "v": members[i : i + _YIELD_CHUNK]}
+            )
 
     return e_uv.mapInPandas(contract, schema="u long, v long")
 
@@ -215,7 +252,10 @@ def _contract_cascade(
     cur, cached = e_uv, None
     n_star, parts = n_raw, None
     for i in range(max_passes):
-        nxt = _contract_partitions(cur, parts).persist()
+        # DISK_ONLY: a pass cache is streamed exactly twice (count +
+        # next pass); on-heap copies of 40M+ rows OOMed the shared
+        # local-mode heap
+        nxt = _contract_partitions(cur, parts).persist(StorageLevel.DISK_ONLY)
         n_star = nxt.count()
         if cached is not None:
             cached.unpersist()
@@ -276,7 +316,7 @@ def connected_components(
         if n_raw <= local_threshold:
             return _cc_single_task(
                 sel.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=_ckpt_level(n_raw))
         # above the single-task bound: contraction cascade first. A few
         # narrow kernel passes shrink the edge set toward NODE count;
         # if the remainder fits one task the exact kernel finishes
@@ -295,7 +335,9 @@ def connected_components(
             star_cache.unpersist()
             return sel.sparkSession.createDataFrame([], "node long, component long")
         if n_star <= local_threshold:
-            out = _cc_single_task(star).localCheckpoint(eager=True)
+            out = _cc_single_task(star).localCheckpoint(
+                eager=True, storageLevel=_ckpt_level(n_star)
+            )
             star_cache.unpersist()
             return out
         sel = star.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -342,13 +384,16 @@ def connected_components(
             pass
 
     baseline = _persistent_ids()
-    e = e0.localCheckpoint(eager=False)
+    lvl = _ckpt_level(n_edges)
+    e = e0.localCheckpoint(eager=False, storageLevel=lvl)
     sig = _signature(e)
     try:
         for _ in range(max_iterations):
             # lazy checkpoint: the signature job right after materialises
             # it, cutting lineage without computing the round twice
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            e = _small_star(_large_star(e)).localCheckpoint(
+                eager=False, storageLevel=lvl
+            )
             new_sig = _signature(e)
             loop_ids = _persistent_ids() - baseline
             if len(loop_ids) > 1:

@@ -287,7 +287,12 @@ def build_merge_edges(
         "src",
     ).select("_comp", "src", "dst", "w_fp")
     if max_component_edges is not None:
-        tagged = tagged.localCheckpoint(eager=False)
+        # DISK_ONLY past the small bound: n_raw tagged rows copied as
+        # on-heap UnsafeRows (~100 B each) OOMed the 16g local-mode
+        # heap at 45M edges (tools/envelope_bench.py clustered shape)
+        from entityframe_spark.operators.components import _ckpt_level
+
+        tagged = tagged.localCheckpoint(eager=False, storageLevel=_ckpt_level(n_raw))
         hot = (
             tagged.groupBy("_comp")
             .agg(F.count(F.lit(1)).alias("_n"))

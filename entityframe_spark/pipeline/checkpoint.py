@@ -11,6 +11,11 @@ Layout (parquet mode):
                                 by Spark's job commit protocol)
     <workdir>/_metrics/         append-only stage metrics rows:
     (run_id, stage, rows, n_partitions, wall_s, finished_at)
+    <workdir>/_lineage/         append-only PER-PARTITION lineage rows
+    of the stored table exactly as a resume will read it:
+    (run_id, stage, partition_id, rows, file, finished_at) — `file` is
+    the backing data file, `rows` per read-partition makes skew
+    visible (one hot partition = one outlier row, no log spelunking)
 """
 
 from __future__ import annotations
@@ -25,6 +30,11 @@ from pyspark.sql import functions as F
 METRICS_SCHEMA = (
     "run_id string, stage string, rows long, n_partitions int, "
     "wall_s double, finished_at timestamp"
+)
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_id int, rows long, "
+    "file string, finished_at timestamp"
 )
 
 
@@ -121,6 +131,7 @@ class StageRunner:
         rows = int(obs.get["rows"])
         wall = time.time() - t0
         self._append_metrics(name, rows, out.rdd.getNumPartitions(), wall)
+        self._append_lineage(name, out)
         self.stage_log.append(
             {"stage": name, "skipped": False, "rows": rows, "wall_s": wall}
         )
@@ -140,5 +151,50 @@ class StageRunner:
         else:
             row.write.mode("append").parquet(f"{self.workdir}/_metrics")
 
+    def _append_lineage(self, stage: str, out: DataFrame) -> None:
+        """Per-partition lineage of the stored table AS A RESUME WILL
+        READ IT (north rule: 'per-partition lineage and metrics rows').
+        One row per read-partition with its row count and backing data
+        file — a skewed stage shows up as one outlier row here, before
+        it melts a downstream shuffle. Cost: a second pass over the
+        stage output that projects ZERO data columns (count + scan
+        metadata only — parquet answers it from row-group headers), so
+        it does not re-read the stage's data pages (the r1 re-count
+        concern). `input_file_name()` is empty on non-file sources;
+        the column is then '' rather than an error."""
+        lin = (
+            # project the two non-deterministic functions to plain
+            # columns BEFORE aggregating: Catalyst (rightly) rejects
+            # min(input_file_name()) inside an agg
+            out.select(
+                F.spark_partition_id().alias("partition_id"),
+                F.input_file_name().alias("_file"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("_file").alias("file"),
+            )
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                "file",
+                F.current_timestamp().alias("finished_at"),
+            )
+        )
+        if self.use_iceberg:
+            tbl = self._table("_lineage")
+            if not self.spark.catalog.tableExists(tbl):
+                lin.writeTo(tbl).create()
+            else:
+                lin.writeTo(tbl).append()
+        else:
+            lin.write.mode("append").parquet(f"{self.workdir}/_lineage")
+
     def metrics(self) -> DataFrame:
         return self._read("_metrics")
+
+    def lineage(self) -> DataFrame:
+        return self._read("_lineage")

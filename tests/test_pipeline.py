@@ -95,3 +95,26 @@ def test_metrics_rows_written(pipeline_result):
     m = result["runner"].metrics()
     stages = {r["stage"] for r in m.collect()}
     assert {"collapse", "pairs", "scored", "clusters"} <= stages
+
+
+def test_lineage_rows_per_partition(spark, synth, pipeline_result):
+    """North rule: per-PARTITION lineage rows. For each stage the
+    lineage rows must sum to the stage's metrics row count, carry the
+    backing data file, and not be re-appended on a resumed (skipped)
+    run."""
+    result, workdir = pipeline_result
+    runner = result["runner"]
+    lin = runner.lineage().collect()
+    met = {r["stage"]: r["rows"] for r in runner.metrics().collect()}
+    by_stage = {}
+    for r in lin:
+        by_stage.setdefault(r["stage"], []).append(r)
+    for stage in ("collapse", "pairs", "scored", "clusters"):
+        rows = by_stage[stage]
+        assert sum(r["rows"] for r in rows) == met[stage], stage
+        assert all(r["file"].startswith("file:") for r in rows), stage
+        assert len({r["partition_id"] for r in rows}) == len(rows), stage
+    n_before = len(lin)
+    transcripts, truth = synth
+    run_pipeline(spark, transcripts, workdir, truth=truth, resume=True, run_id="t3")
+    assert runner.lineage().count() == n_before
