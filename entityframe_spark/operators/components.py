@@ -195,7 +195,13 @@ def _contract_partitions(e_uv: DataFrame, n_parts: int | None) -> DataFrame:
     ``distinct local nodes - local components`` rows, i.e. bounded by
     NODE count however many parallel/duplicate edges arrive."""
     if n_parts is not None:
-        e_uv = e_uv.coalesce(n_parts)
+        cur_parts = e_uv.rdd.getNumPartitions()
+        if n_parts < cur_parts:
+            e_uv = e_uv.coalesce(n_parts)
+        elif n_parts > cur_parts:
+            # input partitioning coarser than the per-task memory
+            # bound allows: one shuffle to restore the bound
+            e_uv = e_uv.repartition(n_parts)
 
     def contract(batches):
         srcs, dsts = [], []
@@ -250,7 +256,19 @@ def _contract_cascade(
     unpersist the handle once the result is consumed/materialised."""
     log = os.environ.get("EF_CC_LOG", "") not in ("", "0")
     cur, cached = e_uv, None
-    n_star, parts = n_raw, None
+    # First pass goes STRAIGHT to the floor partition count (the
+    # per-task memory bound), not the input's natural partitioning:
+    # with shuffle-random row placement a partition of E/P edges over
+    # ~min(2E/P, N) nodes emits ~E/P star rows — no shrink — until P
+    # is small enough that a task sees a meaningful fraction of each
+    # component. Measured (10M-node/50M-edge chain graph, local[32]):
+    # the natural-64 and /4-coalesced-16 passes each streamed the full
+    # 50M rows through Python workers and shrank them by <1%; starting
+    # at ceil(E/threshold)=3 removes both. On a real cluster the floor
+    # is E/threshold tasks — ample parallelism at any scale that
+    # needs the cascade at all (50M-edge graphs -> 3 tasks is the
+    # parallelism-starved WORST case, and it is also the fastest).
+    n_star, parts = n_raw, max(1, -(-n_raw // local_threshold))
     for i in range(max_passes):
         # DISK_ONLY: a pass cache is streamed exactly twice (count +
         # next pass); on-heap copies of 40M+ rows OOMed the shared

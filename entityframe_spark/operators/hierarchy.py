@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entityframe_spark.functions import uf_native
-from entityframe_spark.operators.components import connected_components
+from entityframe_spark.operators.components import _YIELD_CHUNK, connected_components
 from entityframe_spark.functions.jw_native import tune_allocator
 
 # fire in every pyspark worker at closure-deserialize time, BEFORE the
@@ -55,6 +55,19 @@ MERGE_EDGE_SCHEMA = "threshold_fp long, child long, parent long"
 
 
 def _sweep_arrays(pdf: pd.DataFrame):
+    """pandas adapter over :func:`_sweep_arrays_np` (tests and small
+    callers); the executor hot paths pass numpy columns directly and
+    never build an intermediate concatenated DataFrame."""
+    return _sweep_arrays_np(
+        pdf["src"].to_numpy(dtype=np.int64),
+        pdf["dst"].to_numpy(dtype=np.int64),
+        pdf["w_fp"].to_numpy(dtype=np.int64),
+    )
+
+
+def _sweep_arrays_np(
+    src: np.ndarray, dst: np.ndarray, wfp: np.ndarray, presorted: bool = False
+):
     """Sort one component's edges by threshold DESC, ties by (src,
     dst) ASC — a CONTENT-based total order, so the merge-event
     sequence is identical no matter how edges arrive (shuffle arrival
@@ -64,6 +77,14 @@ def _sweep_arrays(pdf: pd.DataFrame):
     tree shape flap run-to-run). Emits the sized merge-event arrays
     (t, child_id, parent_id, left_size, right_size).
 
+    ``presorted=True`` asserts the caller already delivered rows in
+    that exact order — the executor hot paths do it JVM-side with
+    ``sortWithinPartitions(desc(w_fp), src, dst)``, which Tungsten
+    runs spill-aware during the shuffle instead of as 3 stable numpy
+    argsort passes + 3 full-size takes in the single Python task
+    (measured 10M-node/50M-edge giant component: lexsort 119s +
+    take 67s of a ~260s in-process sweep).
+
     C kernel when available (the per-edge Python loop bounded
     single-task throughput at ~1M edges/s; the kernel runs ~100M/s —
     VERDICT r3 Wrong #3), Python union-find fallback otherwise. Both
@@ -71,12 +92,10 @@ def _sweep_arrays(pdf: pd.DataFrame):
     in one batch (n-way merges fall out naturally); duplicate/cycle
     edges are skipped; the representative stays the min record id.
     """
-    src = pdf["src"].to_numpy(dtype=np.int64)
-    dst = pdf["dst"].to_numpy(dtype=np.int64)
-    wfp = pdf["w_fp"].to_numpy(dtype=np.int64)
-    # lexsort: last key is primary -> (-w_fp, src, dst) total order
-    order = np.lexsort((dst, src, -wfp))
-    src, dst, wfp = src[order], dst[order], wfp[order]
+    if not presorted:
+        # lexsort: last key is primary -> (-w_fp, src, dst) total order
+        order = np.lexsort((dst, src, -wfp))
+        src, dst, wfp = src[order], dst[order], wfp[order]
 
     if uf_native.native_available() and len(src):
         # Dense-id fast path: interned record ids are 0..n-1 by
@@ -161,7 +180,43 @@ def _local_single_linkage_sized(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _sweep_fused_single_task(edges_fp: DataFrame, sweep_fn, schema: str) -> DataFrame:
+def _sweep_run(batches, sized: bool):
+    """Executor-side sweep body shared by the fused and partitioned
+    paths: accumulate TYPED numpy columns per Arrow batch (a pandas
+    concat of the full edge set copied ~1.6 GB of object-dtype-prone
+    frames at 50M edges), one kernel call, chunked output yields
+    (same _YIELD_CHUNK batching as components.py — one whole-result
+    Arrow batch was a 200-300 MB contiguous allocation). Rows arrive
+    already in (-w_fp, src, dst) order (JVM sortWithinPartitions at
+    both call sites) — Arrow batch iteration preserves partition
+    order, so the kernel consumes them directly."""
+    srcs, dsts, ws = [], [], []
+    for b in batches:
+        if len(b):
+            srcs.append(b["src"].to_numpy(dtype=np.int64))
+            dsts.append(b["dst"].to_numpy(dtype=np.int64))
+            ws.append(b["w_fp"].to_numpy(dtype=np.int64))
+    if not srcs:
+        return
+    t, c, p, ls, rs = _sweep_arrays_np(
+        np.concatenate(srcs) if len(srcs) > 1 else srcs[0],
+        np.concatenate(dsts) if len(dsts) > 1 else dsts[0],
+        np.concatenate(ws) if len(ws) > 1 else ws[0],
+        presorted=True,
+    )
+    for i in range(0, len(t), _YIELD_CHUNK):
+        cols = {
+            "threshold_fp": t[i : i + _YIELD_CHUNK],
+            "child": c[i : i + _YIELD_CHUNK],
+            "parent": p[i : i + _YIELD_CHUNK],
+        }
+        if sized:
+            cols["left_size"] = ls[i : i + _YIELD_CHUNK]
+            cols["right_size"] = rs[i : i + _YIELD_CHUNK]
+        yield pd.DataFrame(cols)
+
+
+def _sweep_fused_single_task(edges_fp: DataFrame, sized: bool, schema: str) -> DataFrame:
     """Small-graph fast path: the WHOLE edge set through one Arrow task.
 
     The single-linkage sweep is itself a union-find, so it computes
@@ -177,14 +232,14 @@ def _sweep_fused_single_task(edges_fp: DataFrame, sweep_fn, schema: str) -> Data
     """
     return (
         edges_fp.select("src", "dst", "w_fp")
-        .withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(lambda pdf: sweep_fn(pdf), schema=schema)
+        .repartition(1)
+        .sortWithinPartitions(F.desc("w_fp"), "src", "dst")
+        .mapInPandas(lambda it: _sweep_run(it, sized), schema=schema)
     )
 
 
 def _sweep_partitioned(
-    tagged: DataFrame, sweep_fn, schema: str, n_edges: int, edges_per_task: int
+    tagged: DataFrame, sized: bool, schema: str, n_edges: int, edges_per_task: int
 ) -> DataFrame:
     """Component-partitioned sweep: hash-shuffle on ``_comp`` into
     ceil(n_edges / edges_per_task) partitions and run the union-find
@@ -203,16 +258,15 @@ def _sweep_partitioned(
     hash partitioning cannot split — exactly what max_component_edges
     guards)."""
     n_parts = max(1, -(-n_edges // max(edges_per_task, 1)))
-    cols = ["src", "dst", "w_fp"]
-
-    def run(batches):
-        pdfs = [b[cols] for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        yield sweep_fn(pdf)
-
-    return tagged.repartition(n_parts, "_comp").mapInPandas(run, schema=schema)
+    return (
+        tagged.repartition(n_parts, "_comp")
+        # narrow projection after the exchange: _comp was only the
+        # shuffle key; keeping it would ride the JVM sort AND the
+        # Arrow transfer (+8 B/row) for nothing
+        .select("src", "dst", "w_fp")
+        .sortWithinPartitions(F.desc("w_fp"), "src", "dst")
+        .mapInPandas(lambda it: _sweep_run(it, sized), schema=schema)
+    )
 
 
 def build_merge_edges_sized(
@@ -233,7 +287,7 @@ def build_merge_edges_sized(
             max_component_edges is None or n_raw <= max_component_edges
         ):
             return _sweep_fused_single_task(
-                edges_fp, _local_single_linkage_sized, MERGE_EDGE_SIZED_SCHEMA
+                edges_fp, True, MERGE_EDGE_SIZED_SCHEMA
             )
     cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
     comps = connected_components(edges_fp, "src", "dst", **cc_kw)
@@ -242,7 +296,7 @@ def build_merge_edges_sized(
         "src",
     ).select("_comp", "src", "dst", "w_fp")
     return _sweep_partitioned(
-        tagged, _local_single_linkage_sized, MERGE_EDGE_SIZED_SCHEMA,
+        tagged, True, MERGE_EDGE_SIZED_SCHEMA,
         n_raw, edges_per_task,
     )
 
@@ -278,7 +332,7 @@ def build_merge_edges(
             max_component_edges is None or n_raw <= max_component_edges
         ):
             return _sweep_fused_single_task(
-                edges_fp, _local_single_linkage, MERGE_EDGE_SCHEMA
+                edges_fp, False, MERGE_EDGE_SCHEMA
             )
     cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
     comps = connected_components(edges_fp, "src", "dst", **cc_kw)
@@ -310,7 +364,7 @@ def build_merge_edges(
                 "cap, or pass max_component_edges=None to force it."
             )
     return _sweep_partitioned(
-        tagged, _local_single_linkage, MERGE_EDGE_SCHEMA, n_raw, edges_per_task
+        tagged, False, MERGE_EDGE_SCHEMA, n_raw, edges_per_task
     )
 
 
