@@ -99,6 +99,29 @@ int64_t uf_single_linkage(const int64_t* src, const int64_t* dst,
     return m;
 }
 
+/* Max-spanning-forest keep-mask (Kruskal filter): edges pre-sorted by
+   the canonical (-w, src, dst) total order, indices dense. mask[e]=1
+   iff edge e unions two distinct components at its turn, i.e. it is
+   in the canonical Kruskal forest under that order. An edge rejected
+   here (cycle among strictly-earlier edges of the SAME subset) is
+   rejected by Kruskal on any superset too, so dropping mask==0 edges
+   from a partition never removes a globally-canonical forest edge —
+   the standard MST filtering step (Lattanzi et al., "Filtering: a
+   method for solving graph problems in MapReduce", SPAA'11). */
+void uf_msf_mask(const int64_t* src, const int64_t* dst,
+                 int64_t n_edges, int64_t n_nodes,
+                 int64_t* parent, uint8_t* mask)
+{
+    for (int64_t i = 0; i < n_nodes; i++) parent[i] = i;
+    for (int64_t e = 0; e < n_edges; e++) {
+        int64_t rs = uf_find(parent, src[e]);
+        int64_t rd = uf_find(parent, dst[e]);
+        if (rs == rd) { mask[e] = 0; continue; }
+        if (rs <= rd) parent[rd] = rs; else parent[rs] = rd;
+        mask[e] = 1;
+    }
+}
+
 /* Grid membership reconstruction (hierarchy.memberships_for_grid):
    merge edges (child,parent indices) pre-sorted by threshold DESC,
    grid thresholds DESC. For each grid point, apply all merges with
@@ -168,6 +191,9 @@ def _compile() -> "ctypes.CDLL | None":
         [I64P] * 3 + [ctypes.c_int64] * 2 + [I64P, ctypes.c_int64] + [I64P] * 2
     )
     lib.uf_grid_labels.restype = None
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    lib.uf_msf_mask.argtypes = [I64P, I64P, ctypes.c_int64, ctypes.c_int64, I64P, U8P]
+    lib.uf_msf_mask.restype = None
     return lib
 
 
@@ -215,6 +241,21 @@ def single_linkage_native(
         _p(parent), _p(size), *[_p(o) for o in out],
     )
     return tuple(o[:m] for o in out)  # type: ignore[return-value]
+
+
+def msf_mask_native(src_idx: np.ndarray, dst_idx: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Boolean keep-mask of the canonical Kruskal forest; inputs must
+    already be in the canonical (-w, src, dst) order (weights are not
+    needed — the order carries them)."""
+    tune_allocator()
+    src_idx, dst_idx = _i64(src_idx), _i64(dst_idx)
+    parent = np.empty(n_nodes, dtype=np.int64)
+    mask = np.empty(len(src_idx), dtype=np.uint8)
+    _lib.uf_msf_mask(
+        _p(src_idx), _p(dst_idx), len(src_idx), n_nodes, _p(parent),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return mask.view(np.bool_)
 
 
 def grid_labels_native(

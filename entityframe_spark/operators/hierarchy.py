@@ -216,6 +216,144 @@ def _sweep_run(batches, sized: bool):
         yield pd.DataFrame(cols)
 
 
+def _msf_keep_mask(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Keep-mask of the canonical max-spanning forest over edges
+    ALREADY in (-w_fp, src, dst) order: same dense-id fast path /
+    sparse searchsorted mapping as :func:`_sweep_arrays_np`, same
+    pure-Python union-find fallback for compiler-less workers."""
+    n = len(src)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if uf_native.native_available():
+        lo = min(int(src.min()), int(dst.min()))
+        span = max(int(src.max()), int(dst.max())) + 1
+        if lo >= 0 and span <= 2 * n + 16:
+            return uf_native.msf_mask_native(src, dst, span)
+        nodes = np.unique(np.concatenate([src, dst]))
+        return uf_native.msf_mask_native(
+            np.searchsorted(nodes, src), np.searchsorted(nodes, dst), len(nodes)
+        )
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    mask = np.zeros(n, dtype=bool)
+    for e in range(n):
+        ri, rj = find(idx[int(src[e])]), find(idx[int(dst[e])])
+        if ri == rj:
+            continue
+        if ri <= rj:
+            parent[rj] = ri
+        else:
+            parent[ri] = rj
+        mask[e] = True
+    return mask
+
+
+def _msf_filter_pass(e: DataFrame, n_parts: int | None) -> DataFrame:
+    """One Kruskal-filter pass: partition to ``n_parts`` (coalesce
+    down / repartition up, same rules as components._contract_
+    partitions), JVM-sort each partition into the canonical
+    (-w_fp, src, dst) order, and keep only each partition's canonical
+    max-spanning-forest edges. Edges dropped here are provably
+    non-forest in ANY superset (MapReduce MST filtering, Lattanzi et
+    al. SPAA'11), so repeated passes are exact; output per task is
+    bounded by its distinct node count - 1."""
+    if n_parts is not None:
+        cur = e.rdd.getNumPartitions()
+        if n_parts < cur:
+            e = e.coalesce(n_parts)
+        elif n_parts > cur:
+            e = e.repartition(n_parts)
+
+    def keep(batches):
+        srcs, dsts, ws = [], [], []
+        for b in batches:
+            if len(b):
+                srcs.append(b["src"].to_numpy(dtype=np.int64))
+                dsts.append(b["dst"].to_numpy(dtype=np.int64))
+                ws.append(b["w_fp"].to_numpy(dtype=np.int64))
+        if not srcs:
+            return
+        src = np.concatenate(srcs) if len(srcs) > 1 else srcs[0]
+        dst = np.concatenate(dsts) if len(dsts) > 1 else dsts[0]
+        wfp = np.concatenate(ws) if len(ws) > 1 else ws[0]
+        m = _msf_keep_mask(src, dst)
+        src, dst, wfp = src[m], dst[m], wfp[m]
+        for i in range(0, len(src), _YIELD_CHUNK):
+            yield pd.DataFrame(
+                {
+                    "src": src[i : i + _YIELD_CHUNK],
+                    "dst": dst[i : i + _YIELD_CHUNK],
+                    "w_fp": wfp[i : i + _YIELD_CHUNK],
+                }
+            )
+
+    return (
+        e.sortWithinPartitions(F.desc("w_fp"), "src", "dst")
+        .mapInPandas(keep, schema="src long, dst long, w_fp long")
+    )
+
+
+def _msf_filter_cascade(
+    edges_fp: DataFrame, n_raw: int, local_threshold: int, max_passes: int = 8
+) -> tuple[DataFrame, int, DataFrame]:
+    """Kruskal-filter cascade: shrink an above-threshold edge set
+    toward its max-spanning forest (<= node count - 1 rows) with
+    per-partition filter passes, so the FULL dendrogram sweep fits one
+    exact kernel task. Merge events over the filtered set are
+    IDENTICAL to the full set's: every dropped edge would have been a
+    no-op union in the sweep (its endpoints connect via
+    strictly-earlier canonical-order edges that survive filtering).
+
+    This replaces, for trusted (max_component_edges=None) inputs, the
+    whole CC + tag-join + component-shuffle decomposition: those jobs
+    existed only to bound per-task edge counts, which the filter does
+    directly. Partition schedule mirrors components._contract_cascade
+    (start at the memory-bound floor ceil(E/threshold), /4 after;
+    stall = parts cannot drop, meaning forest size itself exceeds one
+    task's bound — the caller then falls back to the CC route over
+    the filtered, smaller edge set).
+
+    Returns (filtered_edges, row_count, persisted_handle); caller
+    unpersists the handle after materialising downstream."""
+    import os as _os
+    import sys as _sys
+
+    from pyspark import StorageLevel
+
+    log = _os.environ.get("EF_CC_LOG", "") not in ("", "0")
+    cur, cached = edges_fp.select("src", "dst", "w_fp"), None
+    n_rows, parts = n_raw, max(1, -(-n_raw // local_threshold))
+    for i in range(max_passes):
+        nxt = _msf_filter_pass(cur, parts).persist(StorageLevel.DISK_ONLY)
+        n_rows = nxt.count()
+        if cached is not None:
+            cached.unpersist()
+        cur = cached = nxt
+        cur_parts = cur.rdd.getNumPartitions()
+        if log:
+            print(
+                f"[ef-msf] filter pass {i}: rows={n_rows} parts={cur_parts}",
+                file=_sys.stderr,
+            )
+        if n_rows <= local_threshold or n_rows == 0:
+            return cur, n_rows, cached
+        floor_parts = -(-n_rows // local_threshold)
+        parts = max(floor_parts, cur_parts // 4)
+        if parts >= cur_parts:
+            break
+    return cur, n_rows, cached
+
+
 def _sweep_fused_single_task(edges_fp: DataFrame, sized: bool, schema: str) -> DataFrame:
     """Small-graph fast path: the WHOLE edge set through one Arrow task.
 
@@ -269,6 +407,36 @@ def _sweep_partitioned(
     )
 
 
+def _msf_route(
+    edges_fp: DataFrame, n_raw: int, local_threshold: int, sized: bool, schema: str
+) -> tuple[DataFrame | None, DataFrame, int]:
+    """Above-threshold routing via the Kruskal-filter cascade (trusted
+    inputs only — callers gate on max_component_edges is None, since
+    the filter bounds per-task memory by construction but cannot
+    observe raw per-component edge counts for the guard contract).
+
+    Returns (done_result | None, edges_fp, n_raw): a non-None first
+    element is the finished merge-edge DataFrame (forest fit one
+    task); otherwise the caller continues on the returned
+    filtered-and-checkpointed edge set (smaller, merge-event
+    identical)."""
+    from entityframe_spark.operators.components import _ckpt_level
+
+    filtered, n_f, handle = _msf_filter_cascade(edges_fp, n_raw, local_threshold)
+    if n_f <= local_threshold:
+        out = _sweep_fused_single_task(filtered, sized, schema).localCheckpoint(
+            eager=True, storageLevel=_ckpt_level(n_f)
+        )
+        handle.unpersist()
+        return out, edges_fp, n_raw
+    # forest itself above one task's bound (node count beyond the
+    # memory bound — true cluster-scale): distributed CC route, but
+    # over the filtered edge set
+    kept = filtered.localCheckpoint(eager=True, storageLevel=_ckpt_level(n_f))
+    handle.unpersist()
+    return None, kept, n_f
+
+
 def build_merge_edges_sized(
     edges_fp: DataFrame,
     max_component_edges: int | None = 10_000_000,
@@ -289,6 +457,12 @@ def build_merge_edges_sized(
             return _sweep_fused_single_task(
                 edges_fp, True, MERGE_EDGE_SIZED_SCHEMA
             )
+        if max_component_edges is None and n_raw > local_threshold:
+            done, edges_fp, n_raw = _msf_route(
+                edges_fp, n_raw, local_threshold, True, MERGE_EDGE_SIZED_SCHEMA
+            )
+            if done is not None:
+                return done
     cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
     comps = connected_components(edges_fp, "src", "dst", **cc_kw)
     tagged = edges_fp.join(
@@ -334,6 +508,16 @@ def build_merge_edges(
             return _sweep_fused_single_task(
                 edges_fp, False, MERGE_EDGE_SCHEMA
             )
+        if max_component_edges is None and n_raw > local_threshold:
+            # trusted input above the single-task bound: Kruskal-filter
+            # cascade (see _msf_filter_cascade) — the guard contract
+            # needs raw per-component counts, so guarded inputs keep
+            # the CC + hot-check route below
+            done, edges_fp, n_raw = _msf_route(
+                edges_fp, n_raw, local_threshold, False, MERGE_EDGE_SCHEMA
+            )
+            if done is not None:
+                return done
     cc_kw = {} if cc_local_threshold is None else {"local_threshold": cc_local_threshold}
     comps = connected_components(edges_fp, "src", "dst", **cc_kw)
     tagged = edges_fp.join(

@@ -122,3 +122,75 @@ def test_bucketed_grid_memberships_match_local(spark):
     key = lambda r: (r["threshold_fp"], r["record_id"], r["cluster_id"])
     assert sorted(map(key, local)) == sorted(map(key, dist))
     assert len(local) == len(grid) * (30 * 8 + 5)
+
+
+def _me_rows(df):
+    return sorted(
+        (r["threshold_fp"], r["child"], r["parent"]) for r in df.collect()
+    )
+
+
+def test_msf_filter_route_matches_fused(spark):
+    """Above-threshold trusted inputs route through the Kruskal-filter
+    cascade (_msf_filter_cascade); its merge events must be IDENTICAL
+    to the fused single-task sweep on the same edges — including
+    equal-threshold tie order, which the canonical (-w, src, dst)
+    total order pins. Mixed shape: several mid-size clusters plus one
+    chain, redundant parallel paths so the filter actually drops
+    edges."""
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+
+    edges = (
+        spark.range(4000)
+        .select(
+            (F.col("id") % 40 * 25 + (F.col("id") * 7) % 25).alias("src"),
+            (F.col("id") % 40 * 25 + (F.col("id") * 13 + 1) % 25).alias("dst"),
+            ((F.col("id") * 31) % 11 * 90_000 + 10_000).alias("w_fp"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    baseline = build_merge_edges(edges)  # 4k edges < default threshold: fused
+    # local_threshold=300 forces the MSF cascade; forest (~1k tree
+    # edges over 1k nodes) exceeds 300 so this ALSO exercises the
+    # stall -> CC-over-filtered fallback; then threshold=2000 exercises
+    # the cascade-finishes -> fused-over-filtered exit
+    for lt in (300, 2000):
+        routed = build_merge_edges(
+            edges, max_component_edges=None, local_threshold=lt
+        )
+        assert _me_rows(routed) == _me_rows(baseline), lt
+
+
+def test_msf_filter_route_sized_matches(spark):
+    """Sized variant through the MSF route: (left_size, right_size)
+    come from the merge sequence, which filtering must not change."""
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.operators.hierarchy import build_merge_edges_sized
+
+    edges = (
+        spark.range(1500)
+        .select(
+            ((F.col("id") * 17) % 120).alias("src"),
+            ((F.col("id") * 29 + 3) % 120).alias("dst"),
+            ((F.col("id") * 41) % 13 * 70_000 + 30_000).alias("w_fp"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    key = lambda r: (
+        r["threshold_fp"], r["child"], r["parent"], r["left_size"], r["right_size"]
+    )
+    baseline = sorted(map(key, build_merge_edges_sized(edges).collect()))
+    routed = sorted(
+        map(
+            key,
+            build_merge_edges_sized(
+                edges, max_component_edges=None, local_threshold=200
+            ).collect(),
+        )
+    )
+    assert routed == baseline

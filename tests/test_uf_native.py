@@ -89,3 +89,28 @@ def test_grid_labels_kernel_matches_incremental_python():
             active = tf >= t
             expected = union_find_numpy(ch[active], pa[active], nodes)
             assert np.array_equal(expected, nodes[labels[g]])
+
+
+@pytest.mark.skipif(not uf_native.native_available(), reason="no C compiler")
+def test_msf_mask_kernel_keeps_exactly_the_sweep_tree_edges():
+    """The Kruskal keep-mask must select exactly the edges that cause
+    unions in the single-linkage sweep under the same canonical
+    (-w, src, dst) order — i.e. #kept == #merge events, and sweeping
+    ONLY the kept edges reproduces the identical event sequence."""
+    rng = np.random.RandomState(11)
+    ran = 0
+    for _ in range(50):
+        src, dst = _random_graph(rng)
+        if len(src) == 0:
+            continue
+        w = rng.randint(1, 8, len(src)).astype(np.int64) * 100_000
+        order = np.lexsort((dst, src, -w))
+        src, dst, w = src[order], dst[order], w[order]
+        mask = H._msf_keep_mask(src, dst)
+        full = H._sweep_arrays_np(src, dst, w, presorted=True)
+        assert int(mask.sum()) == len(full[0])
+        kept = H._sweep_arrays_np(src[mask], dst[mask], w[mask], presorted=True)
+        for a, b in zip(full, kept):
+            assert np.array_equal(a, b)
+        ran += 1
+    assert ran > 30
