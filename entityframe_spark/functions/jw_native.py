@@ -132,17 +132,24 @@ void jw_batch(const uint32_t* A, const uint32_t* B,
 /* Combined scoring kernel: Levenshtein similarity over the full
    (<= width) prefixes and Jaro-Winkler over the first jw_max_len
    codepoints — one pass over the batch, two outputs, zero heap. */
+/* la/lb are lengths under the PACK truncation max(lev_max_len,
+   jw_max_len); each metric caps its own prefix from there, so both
+   are prefixes of the ORIGINAL string regardless of which cap is
+   larger (ADVICE r4: the fallback and kernel must agree for any
+   cap ordering, not just the 256/128 defaults). */
 void lev_jw_batch(const uint32_t* A, const uint32_t* B,
                   const int32_t* la, const int32_t* lb,
                   int64_t n, int32_t width, double prefix_weight,
-                  int32_t jw_max_len,
+                  int32_t lev_max_len, int32_t jw_max_len,
                   double* lev_out, double* jw_out)
 {
     for (int64_t r = 0; r < n; r++) {
         const uint32_t* s1 = A + r * (int64_t)width;
         const uint32_t* s2 = B + r * (int64_t)width;
         int l1 = la[r], l2 = lb[r];
-        lev_out[r] = lev_one(s1, l1, s2, l2);
+        int v1 = l1 < lev_max_len ? l1 : lev_max_len;
+        int v2 = l2 < lev_max_len ? l2 : lev_max_len;
+        lev_out[r] = lev_one(s1, v1, s2, v2);
         int j1 = l1 < jw_max_len ? l1 : jw_max_len;
         int j2 = l2 < jw_max_len ? l2 : jw_max_len;
         jw_out[r] = jw_one(s1, j1, s2, j2, prefix_weight);
@@ -244,6 +251,7 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_int32,
         ctypes.c_double,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
     ]
@@ -332,9 +340,12 @@ def lev_jw_batch_fallback(
     lev = np.zeros(n, dtype=np.float64)
     jw = np.zeros(n, dtype=np.float64)
     for i in range(n):
-        a = (a_strs[i] or "")[:lev_max_len]
-        b = (b_strs[i] or "")[:lev_max_len]
-        lev[i] = _lev_sim_py(a, b)
+        a = a_strs[i] or ""
+        b = b_strs[i] or ""
+        lev[i] = _lev_sim_py(a[:lev_max_len], b[:lev_max_len])
+        # each prefix sliced from the ORIGINAL string, exactly like the
+        # native kernel — slicing from the lev-truncated copy diverges
+        # whenever jw_max_len > lev_max_len (ADVICE r4)
         jw[i] = _jaro_winkler(a[:jw_max_len], b[:jw_max_len], prefix_weight)
     return lev, jw
 
@@ -384,10 +395,13 @@ def lev_jw_batch_native(
     jw = np.zeros(n, dtype=np.float64)
     if n == 0:
         return lev, jw
-    A, B, la, lb, width = _pack(a_strs, b_strs, lev_max_len)
+    # pack once at the larger cap; the kernel slices each metric's own
+    # prefix from it, so both prefixes come from the ORIGINAL string
+    # whichever cap is larger (parity with lev_jw_batch_fallback)
+    A, B, la, lb, width = _pack(a_strs, b_strs, max(lev_max_len, jw_max_len))
     _lib.lev_jw_batch(
         _u32p(A), _u32p(B), _i32p(la), _i32p(lb),
-        n, width, float(prefix_weight), int(jw_max_len),
+        n, width, float(prefix_weight), int(lev_max_len), int(jw_max_len),
         _f64p(lev), _f64p(jw),
     )
     return lev, jw

@@ -78,6 +78,13 @@ def frame_tables(ef: EntityFrame) -> dict[str, DataFrame]:
             F.col("parent"),
         )
         events = me if events is None else events.unionByName(me)
+    if events is None:
+        # records-only frame: empty-but-typed tables so save_frame and
+        # frame_to_arrow still produce the full decomposition instead of
+        # an AttributeError on None (ADVICE r4)
+        events = spark.createDataFrame(
+            [], "collection_id int, threshold double, child long, parent long"
+        )
     # merge_id: the NATURAL composite key (collection_id, threshold_fp,
     # child) rendered as a string — child appears exactly once per
     # collection, so this is unique BY CONSTRUCTION. (A 64-bit hash id
@@ -131,6 +138,10 @@ def frame_tables(ef: EntityFrame) -> dict[str, DataFrame]:
             F.col("record_id").alias("record_index"),
         )
         coll_records = b if coll_records is None else coll_records.unionByName(b)
+    if coll_records is None:
+        coll_records = spark.createDataFrame(
+            [], "collection_id int, record_index long"
+        )
 
     return {
         "records": recs,
@@ -158,11 +169,26 @@ def load_frame(spark: SparkSession, path: str) -> EntityFrame:
     """Load a frame written by save_frame. Partitions at any
     threshold are identical to the saved frame's (round-trip test in
     tests/test_frame_store.py)."""
-    tables = {
-        tbl: spark.read.parquet(f"{path}/{tbl}")
-        for tbl in TABLES
-        if tbl != "collection_records"
+    # a zero-collection frame's partitioned tables have no part files
+    # (partitionBy of an empty DataFrame writes only _SUCCESS), so their
+    # reads fall back to empty-but-typed frames (ADVICE r4)
+    fallbacks = {
+        "merge_events": "merge_id string, collection_id int, threshold double",
+        "merge_groups": (
+            "group_id string, merge_id string, group_no int, collection_id int"
+        ),
+        "merge_group_records": "group_id string, record_index long, collection_id int",
     }
+    tables = {}
+    for tbl in TABLES:
+        if tbl == "collection_records":
+            continue
+        try:
+            tables[tbl] = spark.read.parquet(f"{path}/{tbl}")
+        except Exception:
+            if tbl not in fallbacks:
+                raise
+            tables[tbl] = spark.createDataFrame([], fallbacks[tbl])
     # base_ids table: frames saved before r4 lack it (old whole-space
     # default applies)
     try:

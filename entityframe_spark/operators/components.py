@@ -47,6 +47,23 @@ def _ckpt_level(approx_rows: int) -> StorageLevel | None:
     _DISK_LEVEL_ROWS."""
     return StorageLevel.DISK_ONLY if approx_rows > _DISK_LEVEL_ROWS else None
 
+
+def _ckpt_unpersist(df: DataFrame) -> None:
+    """Release the persisted blocks of a localCheckpoint()ed DataFrame.
+
+    Dataset.unpersist() only talks to the cache manager, not direct RDD
+    persists, so reach the checkpointed RDD through the plan's
+    LogicalRDD node. This is how a loop releases superseded checkpoints
+    it created ITSELF — never by diffing global persistent-RDD ids,
+    which races with RDDs persisted concurrently by other driver
+    threads (ADVICE r4). Only safe once a downstream job has
+    materialised whatever replaces ``df`` (localCheckpoint lineage is
+    truncated; the block is unrecoverable after unpersist)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # API drift: degrade to keep-until-context-GC
+
 from entityframe_spark.functions import uf_native
 from entityframe_spark.functions.jw_native import tune_allocator
 
@@ -379,32 +396,17 @@ def connected_components(
     # manager storage linearly with rounds — measured as a 16g-heap OOM
     # at 50M edges / ~25 rounds (tools/envelope_bench.py giant shape);
     # on a real cluster the same leak inflates executor storage until
-    # eviction thrash. Persistent-RDD ids increase monotonically, so
-    # after each round's signature job materialises its checkpoint we
-    # drop every loop-created id except the newest (the current round).
-    # Caller/base persists (e0 etc.) are protected by the baseline set.
-    sc = e0.sparkSession.sparkContext
-
-    def _persistent_ids() -> set[int]:
-        try:
-            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-        except Exception:
-            return set()  # API drift: degrade to the old keep-all behavior
-
-    def _unpersist_ids(ids: set[int]) -> None:
-        try:
-            jmap = sc._jsc.getPersistentRDDs()
-            for i in ids:
-                rdd = jmap.get(i)
-                if rdd is not None:
-                    rdd.unpersist(False)
-        except Exception:
-            pass
-
-    baseline = _persistent_ids()
+    # eviction thrash. Each round tracks ITS OWN checkpoint handle and
+    # releases the previous round's only after the new round's
+    # signature job has materialised (lineage is truncated by then, so
+    # nothing downstream can still need the old block). Explicit
+    # handles — never a diff of global persistent-RDD ids, which would
+    # sweep up RDDs persisted concurrently by other driver threads and
+    # could even unpersist this loop's own live checkpoint (ADVICE r4).
     lvl = _ckpt_level(n_edges)
     e = e0.localCheckpoint(eager=False, storageLevel=lvl)
     sig = _signature(e)
+    prev = e
     try:
         for _ in range(max_iterations):
             # lazy checkpoint: the signature job right after materialises
@@ -413,9 +415,8 @@ def connected_components(
                 eager=False, storageLevel=lvl
             )
             new_sig = _signature(e)
-            loop_ids = _persistent_ids() - baseline
-            if len(loop_ids) > 1:
-                _unpersist_ids(loop_ids - {max(loop_ids)})
+            _ckpt_unpersist(prev)
+            prev = e
             if new_sig == sig:
                 break
             sig = new_sig

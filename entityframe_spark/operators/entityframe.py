@@ -33,11 +33,21 @@ class ColExpression:
     thresholds: tuple[float, ...] = ()
 
     def at(self, threshold: float) -> "ColExpression":
-        return ColExpression(self.name, (float(threshold),))
+        t = float(threshold)
+        # eager [0,1] validation, matching Collection.at (P2) — the
+        # reference rejects out-of-range thresholds at expression build
+        # time (interface.md threshold contract), not first evaluation
+        if not 0.0 <= t <= 1.0:
+            raise ValueError(f"threshold must be in [0, 1], got {t}")
+        return ColExpression(self.name, (t,))
 
     def sweep(self, start: float, stop: float, step: float) -> "ColExpression":
         if step <= 0:
             raise ValueError("step must be positive")
+        if not (0.0 <= float(start) <= 1.0 and float(stop) <= 1.0):
+            raise ValueError(
+                f"sweep bounds must be in [0, 1], got [{start}, {stop}]"
+            )
         pts, t = [], float(start)
         # inclusive stop with fixed-point tolerance, like the designed
         # sweep grid (interface.md:404-419)

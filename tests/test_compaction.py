@@ -127,3 +127,25 @@ def test_compact_after_frame_store_round_trip(spark, tmp_path):
     assert keys == {"a", "b", "c", "d"}  # x, y, z reclaimed post-load
     parts = _clusters(ef2.collections["keep"], 0.75)
     assert sorted(len(p) for p in parts) == [2, 2]
+
+
+def test_zero_collection_frame_save_load_and_arrow(spark, tmp_path):
+    """ADVICE r4: a records-only frame (no collections yet) must save,
+    load, and Arrow-round-trip instead of crashing on None tables."""
+    from entityframe_spark.io.arrow_transport import frame_from_arrow, frame_to_arrow
+    from entityframe_spark.io.frame_store import load_frame, save_frame
+    from entityframe_spark.operators.entityframe import EntityFrame
+
+    ef = EntityFrame.from_records(
+        "src", [{"key": "a"}, {"key": "b"}], key_column="key", spark=spark
+    )
+    path = str(tmp_path / "frame0")
+    save_frame(ef, path)
+    back = load_frame(spark, path)
+    assert back.collections == {}
+    assert {r["key"] for r in back.records.collect()} == {"a", "b"}
+
+    buf = frame_to_arrow(ef)
+    back2 = frame_from_arrow(spark, buf)
+    assert back2.collections == {}
+    assert {r["key"] for r in back2.records.collect()} == {"a", "b"}

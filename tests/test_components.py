@@ -142,3 +142,38 @@ def test_distributed_rounds_release_storage(spark):
     assert out.count() == 301  # many rounds ran (300-node chain)
     leaked = pids() - before
     assert len(leaked) <= 1, f"CC loop leaked {len(leaked)} persistent RDDs"
+
+
+def test_distributed_rounds_do_not_touch_foreign_persists(spark):
+    """ADVICE r4: the loop must release only checkpoints IT created —
+    an RDD persisted by the caller (or another driver thread) before
+    or during the loop must stay persisted and usable afterwards."""
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.operators.components import connected_components
+
+    sc = spark.sparkContext
+
+    def pids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    pre = pids()
+    foreign = spark.range(100).select((F.col("id") * 2).alias("x")).persist()
+    assert foreign.count() == 100  # materialise the foreign cache
+    foreign_ids = pids() - pre
+    assert foreign_ids, "expected the foreign cache to register a persistent RDD"
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    out = connected_components(edges, local_threshold=0)
+    assert out.count() == 301
+
+    # the foreign cache's ids must survive the loop (the old global-id
+    # diff could sweep them up) and still serve reads. Only THIS df's
+    # ids are asserted — other tests' orphaned caches may be reclaimed
+    # concurrently by ContextCleaner, which is unrelated to the loop.
+    missing = foreign_ids - pids()
+    assert not missing, f"loop unpersisted foreign ids: {missing}"
+    assert foreign.count() == 100
+    foreign.unpersist()

@@ -201,3 +201,21 @@ def test_native_lev_jw_parity_vs_scalar_and_jvm(spark):
     ]
     for (a, b), got, want in zip(pairs, lev, jvm):
         assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+def test_lev_jw_fallback_matches_native_when_jw_prefix_longer():
+    """ADVICE r4: with jw_max_len > lev_max_len the fallback must slice
+    the JW inputs from the ORIGINAL strings, exactly like the native
+    kernel — not from the lev-truncated copies."""
+    import pytest
+
+    from entityframe_spark.functions import jw_native
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+    a = ["abcdefghij" * 3, "martha" * 5, "", "xy"]
+    b = ["abcdefghiX" * 3, "marhta" * 5, "q", "xy"]
+    lev_n, jw_n = jw_native.lev_jw_batch_native(a, b, lev_max_len=8, jw_max_len=24)
+    lev_f, jw_f = jw_native.lev_jw_batch_fallback(a, b, lev_max_len=8, jw_max_len=24)
+    assert lev_n == pytest.approx(lev_f.tolist())
+    assert jw_n == pytest.approx(jw_f.tolist())
