@@ -40,6 +40,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
+def _calibration() -> dict[str, float]:
+    """Host-weather probe (VERDICT r4 "Next" #4): two fixed
+    microbenchmarks recorded alongside every bench run so cross-run
+    wall-clock spreads can be read against MEASURED machine state
+    instead of argued about. This host has measured the SAME numpy op
+    at 0.41s and 89.25s minutes apart (BENCH.md), and its fresh-page
+    fault path is a contended host resource (0.16-0.60 GiB/s window).
+
+    - fresh_page_gibps: single-thread mmap fresh-touch throughput,
+      256 MiB of never-touched pages (the BENCH.md probe, scaled down
+      to stay cheap). Tracks the page-zeroing floor every
+      allocation-heavy Spark phase hits.
+    - numpy_mulmod_sec: one fixed mul-mod pass over 50M int64 —
+      tracks CPU steal on warm memory.
+    """
+    import mmap
+
+    import numpy as np
+
+    out: dict[str, float] = {}
+    size = 256 << 20
+    t0 = time.time()
+    m = mmap.mmap(-1, size)
+    step = mmap.PAGESIZE
+    for off in range(0, size, step):
+        m[off] = 1
+    m.close()
+    out["fresh_page_gibps"] = round(size / (1 << 30) / max(time.time() - t0, 1e-9), 3)
+
+    a = np.arange(50_000_000, dtype=np.int64)
+    t0 = time.time()
+    (a * 2_654_435_761 % 1_000_003).sum()
+    out["numpy_mulmod_sec"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,6 +89,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+    cal_before = _calibration()
 
     def timed(name, fn):
         walls = []
@@ -180,6 +217,7 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf_dir,
                 "cpus": cpus,
+                "calibration": {"before": cal_before, "after": _calibration()},
                 **{k: v for k, v in extras.items()},
             }
         )

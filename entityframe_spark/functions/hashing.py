@@ -57,19 +57,22 @@ def entity_hashes(
         elif algo == "md5":
             out = out.withColumn("md5", F.md5(canon))
         elif algo == "blake3":
-            if _blake3 is None:
-                raise NotImplementedError(
-                    "blake3 wheel not installed in this environment; "
-                    "use algo='blake2b' (stdlib hashlib, same 256-bit "
-                    "output, also a BLAKE-family hash) as the documented "
-                    "stand-in"
-                )
-            import pandas as pd
-            from pyspark.sql.types import StringType
-
+            # wheel when installed; else the repo's own spec
+            # implementation (b3_native: C kernel with pure-Python
+            # fallback, pinned to the published test vectors) — the
+            # algorithm no longer degrades to a stand-in anywhere
             @F.pandas_udf(StringType())
             def _b3(s: pd.Series) -> pd.Series:
-                return s.map(lambda x: _blake3.blake3(x.encode()).hexdigest())
+                if _blake3 is not None:
+                    return s.map(
+                        lambda x: _blake3.blake3(x.encode()).hexdigest()
+                    )
+                from entityframe_spark.functions import b3_native
+
+                vals = [x.encode() for x in s.tolist()]
+                return pd.Series(
+                    b3_native.blake3_hex_batch(vals), index=s.index
+                )
 
             out = out.withColumn("blake3", _b3(canon))
         elif algo == "blake2b":
@@ -77,9 +80,6 @@ def entity_hashes(
             # wheel (interface.md:547-552 lists blake3; blake2b is the
             # stdlib BLAKE-family equivalent, 256-bit digest here)
             import hashlib
-
-            import pandas as pd
-            from pyspark.sql.types import StringType
 
             @F.pandas_udf(StringType())
             def _b2(s: pd.Series) -> pd.Series:

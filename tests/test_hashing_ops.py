@@ -41,13 +41,20 @@ def test_entity_hashes_known_digests(spark, small_partition):
     assert out[5]["sha256"] == hashlib.sha256(b"k5").hexdigest()
 
 
-def test_blake3_raises_without_wheel(spark, small_partition):
-    from entityframe_spark.functions import hashing
+def test_blake3_works_without_wheel(spark, small_partition):
+    """blake3 no longer degrades when the wheel is absent: the repo's
+    own spec implementation (b3_native, vector-pinned in
+    tests/test_b3_native.py) computes the digest."""
+    from entityframe_spark.functions import b3_native, hashing
 
     part, recs = small_partition
-    if hashing._blake3 is None:
-        with pytest.raises(NotImplementedError, match="blake2b"):
-            hashing.entity_hashes(part, recs, ("blake3",))
+    rows = {
+        r["cluster_id"]: r["blake3"]
+        for r in hashing.entity_hashes(part, recs, ("blake3",)).collect()
+    }
+    for r in hashing.entity_hashes(part, recs, ()).collect():
+        canon = ",".join(r["members"]).encode()
+        assert rows[r["cluster_id"]] == b3_native.blake3_hex_py(canon)
 
 
 def test_entity_density(spark, small_partition):
