@@ -198,12 +198,59 @@ def main() -> None:
     def q6():
         return em.q_text_profile(spark, sf_dir).count()
 
+    # q7: analyse() n-way sweep at a NON-TOY grid (VERDICT r4 "Next"
+    # #8) — q3's metric sweep only exercises a 3-point grid, so the
+    # single-shuffle contingency (A17) had no recorded number at the
+    # grid sizes the reference designs for (interface.md:404-419
+    # sweep() grids). Two collections over the customer->nation edge
+    # graph (~15k shared records at sf0.1) with independent
+    # hash-derived weights, swept 100x100 = 10,000 (t_a, t_b) grid
+    # points: memberships expand to |grid| x n rows per side, the
+    # record_id join fans out to |grid_a| x |grid_b| x n contingency
+    # inputs (~150M rows at sf0.1), and ONE grouped aggregation feeds
+    # every pairwise metric row. Built once outside the timer (the
+    # dendrogram builds are q2's number); the timed section is the
+    # sweep itself.
+    from entityframe_spark.operators.collection import Collection
+    from entityframe_spark.operators.entityframe import EntityFrame, col
+
+    def _nway_edges(seed: int):
+        # deterministic 1/5 customer sample: the FULL sf0.1 table
+        # (~15k records -> 150M contingency inputs) measured 176.9s
+        # per attempt on this host (BENCH.md), which would triple the
+        # whole bench's wall for one query; 1/5 keeps the grid at the
+        # full 10,000 points with ~30M contingency inputs and the
+        # min-of-reps methodology affordable
+        c = em._load(spark, sf_dir, "customer").where(
+            F.col("c_custkey") % 5 == 0
+        )
+        return c.select(
+            F.col("c_custkey").cast("string").alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+            (
+                F.pmod(F.xxhash64("c_custkey", F.lit(seed)), F.lit(1000)) / 1000.0
+            ).alias("weight"),
+        )
+
+    ef7 = EntityFrame()
+    ef7.add_collection("a", Collection.from_edges(_nway_edges(1)))
+    ef7.add_collection("b", Collection.from_edges(_nway_edges(2)))
+    ga = col("a").sweep(0.0, 0.99, 0.01)
+    gb = col("b").sweep(0.0, 0.99, 0.01)
+
+    def q7():
+        res = ef7.analyse_df(ga, gb)
+        n = res.count()
+        extras["nway_grid_points"] = n
+        return n
+
     timed("q1_linkage_pipeline", q1)
     timed("q2_hierarchy_build", q2)
     timed("q3_sweep_metrics", q3)
     timed("q4_dedup_minhash", q4)
     timed("q5_ann_topk", q5)
     timed("q6_text_profile", q6)
+    timed("q7_nway_sweep_100x100", q7)
 
     total = round(sum(timings.values()), 3)
     print(
