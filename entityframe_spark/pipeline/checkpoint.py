@@ -43,8 +43,10 @@ def _iceberg_available(spark: SparkSession, catalog: str | None) -> bool:
     the Iceberg branch has never executed in this container (no
     catalog jars are installed, so this probe always returns False
     here); it is seam code per SURVEY §7, exercised only via the
-    parquet fallback. Validate against a real catalog before relying
-    on the writeTo/createOrReplace path."""
+    parquet fallback. A jar fetch was attempted and failed at DNS —
+    evidence + provisioning steps in tools/ICEBERG_ATTEMPT.md.
+    Validate against a real catalog before relying on the
+    writeTo/createOrReplace path."""
     if not catalog:
         return False
     try:
