@@ -417,6 +417,61 @@ def q_sweep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIR_GRID_A = [200_000, 500_000, 800_000]
+PAIR_GRID_B = [350_000, 650_000]
+
+
+def _supplier_edges_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second deterministic weighting of the supplier->nation edge
+    graph (multiplier 73 instead of 37) — side B of the pair sweep."""
+    s = _load(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.lit(NATION_OFFSET) + F.col("s_nationkey")).cast("long").alias("dst"),
+        (((F.col("s_suppkey") * 73) % 101).cast("long") * 10000).alias("w_fp"),
+    )
+
+
+def q_pair_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 pair-grid fused route (operators/pair_sweep.py): every
+    (t_a, t_b) cell of a 3x2 threshold grid over two independently
+    weighted supplier clusterings, computed as kernel-side sufficient
+    statistics (no |grid_a| x |grid_b| x n membership join) and fed
+    through the same metrics_from_stats expressions as the shuffle
+    route. The reference designs this sweep as incremental updates
+    (docs/design/algorithms.md:671-786); the DuckDB oracle recomputes
+    each grid point from first principles (recursive-CTE components
+    on both sides + contingency metrics)."""
+    from entityframe_spark.operators.hierarchy import build_merge_edges
+    from entityframe_spark.operators.metrics import metrics_from_stats
+    from entityframe_spark.operators.pair_sweep import pair_sweep_stats
+
+    ea = _supplier_edges(spark, sf_dir)
+    eb = _supplier_edges_b(spark, sf_dir)
+    recs = _edge_records(ea)
+    stats = pair_sweep_stats(
+        recs,
+        build_merge_edges(ea),
+        build_merge_edges(eb),
+        PAIR_GRID_A,
+        PAIR_GRID_B,
+    )
+    assert stats is not None  # supplier graphs sit far below the gates
+    out = metrics_from_stats(stats, keys=["key_ta", "key_tb"])
+    return _round6(
+        out.select(
+            F.col("key_ta").alias("threshold_a"),
+            F.col("key_tb").alias("threshold_b"),
+            "precision",
+            "recall",
+            "f1",
+            "ari",
+            "nmi",
+        ),
+        ["precision", "recall", "f1", "ari", "nmi"],
+    )
+
+
 def q_records_intern_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6: attribute identity — same (source, key) with different
     attrs is a different record (data_context.rs:47-78). Keys are
@@ -771,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "transcript_collapse": q_transcript_collapse,
         "sweep_metrics": q_sweep_metrics,
+        "pair_sweep_metrics": q_pair_sweep,
         "records_intern_attrs": q_records_intern_attrs,
         "assimilate_contingency": q_assimilate_contingency,
         "entity_lifetime": q_entity_lifetime,
@@ -944,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["sweep_metrics"] = _SWEEP_METRICS_ORACLE
+    sqls["pair_sweep_metrics"] = _PAIR_SWEEP_ORACLE
 
     sqls["records_intern_attrs"] = """
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, key, attr_sig) - 1 AS BIGINT)
@@ -1244,6 +1301,83 @@ FROM sums CROSS JOIN marga CROSS JOIN margb
 
 _SWEEP_METRICS_ORACLE = " UNION ALL ".join(
     f"SELECT * FROM ({_sweep_metric_oracle_one(t)})" for t in SWEEP_FPS
+)
+
+
+def _pair_sweep_oracle_one(ta: int, tb: int) -> str:
+    """One (t_a, t_b) grid point from first principles: recursive-CTE
+    connected components of BOTH weighted edge sets, then the same
+    contingency metric algebra as _sweep_metric_oracle_one."""
+    return f"""
+WITH RECURSIVE
+edges_a AS ({EDGES_SQL}),
+edges_b AS (
+  SELECT s_suppkey AS src,
+         {NATION_OFFSET} + s_nationkey AS dst,
+         CAST((s_suppkey * 73) % 101 AS BIGINT) * 10000 AS w_fp
+  FROM supplier
+),
+nodes AS (SELECT src AS node FROM edges_a UNION SELECT dst FROM edges_a),
+act_a AS (SELECT src, dst FROM edges_a WHERE w_fp >= {ta}),
+und_a AS (SELECT src AS u, dst AS v FROM act_a UNION SELECT dst, src FROM act_a),
+reach_a(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach_a.node, und_a.v FROM reach_a JOIN und_a ON und_a.u = reach_a.r
+),
+comp_a AS (SELECT node AS record_id, MIN(r) AS cluster_a FROM reach_a GROUP BY node),
+act_b AS (SELECT src, dst FROM edges_b WHERE w_fp >= {tb}),
+und_b AS (SELECT src AS u, dst AS v FROM act_b UNION SELECT dst, src FROM act_b),
+reach_b(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach_b.node, und_b.v FROM reach_b JOIN und_b ON und_b.u = reach_b.r
+),
+comp_b AS (SELECT node AS record_id, MIN(r) AS cluster_b FROM reach_b GROUP BY node),
+cells AS (
+  SELECT cluster_a, cluster_b, COUNT(*) AS n
+  FROM comp_a JOIN comp_b USING (record_id) GROUP BY 1, 2
+),
+ma AS (SELECT cluster_a, SUM(n) AS a_i FROM cells GROUP BY 1),
+mb AS (SELECT cluster_b, SUM(n) AS b_j FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_tot FROM cells),
+en AS (
+  SELECT c.cluster_a, c.cluster_b, c.n, ma.a_i, mb.b_j, tot.n_tot
+  FROM cells c JOIN ma USING (cluster_a) JOIN mb USING (cluster_b) CROSS JOIN tot
+),
+sums AS (
+  SELECT MAX(n_tot) AS n_tot,
+         SUM(n * (n - 1) / 2.0) AS tp,
+         SUM((n::DOUBLE / n_tot) * ln(n::DOUBLE * n_tot / (a_i * b_j))) AS mi
+  FROM en
+),
+marga AS (
+  SELECT SUM(a_i * (a_i - 1) / 2.0) AS pp,
+         SUM(-(a_i::DOUBLE / n_tot) * ln(a_i::DOUBLE / n_tot)) AS h_a
+  FROM (SELECT DISTINCT cluster_a, a_i, n_tot FROM en)
+),
+margb AS (
+  SELECT SUM(b_j * (b_j - 1) / 2.0) AS ap,
+         SUM(-(b_j::DOUBLE / n_tot) * ln(b_j::DOUBLE / n_tot)) AS h_b
+  FROM (SELECT DISTINCT cluster_b, b_j, n_tot FROM en)
+)
+SELECT CAST({ta} AS BIGINT) AS threshold_a,
+  CAST({tb} AS BIGINT) AS threshold_b,
+  CAST(round(CASE WHEN pp > 0 THEN tp / pp ELSE 0 END, 6) AS DOUBLE) AS precision,
+  CAST(round(CASE WHEN ap > 0 THEN tp / ap ELSE 0 END, 6) AS DOUBLE) AS recall,
+  CAST(round(CASE WHEN pp > 0 AND ap > 0 AND tp > 0
+       THEN 2 * (tp / pp) * (tp / ap) / (tp / pp + tp / ap) ELSE 0 END, 6) AS DOUBLE) AS f1,
+  CAST(round((tp - pp * ap / (n_tot * (n_tot - 1) / 2.0))
+       / ((pp + ap) / 2.0 - pp * ap / (n_tot * (n_tot - 1) / 2.0)), 6) AS DOUBLE) AS ari,
+  CAST(round(CASE WHEN h_a + h_b > 0 THEN 2 * mi / (h_a + h_b) ELSE 1 END, 6) AS DOUBLE) AS nmi
+FROM sums CROSS JOIN marga CROSS JOIN margb
+"""
+
+
+_PAIR_SWEEP_ORACLE = " UNION ALL ".join(
+    f"SELECT * FROM ({_pair_sweep_oracle_one(ta, tb)})"
+    for ta in PAIR_GRID_A
+    for tb in PAIR_GRID_B
 )
 
 

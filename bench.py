@@ -205,25 +205,18 @@ def main() -> None:
     # sweep() grids). Two collections over the customer->nation edge
     # graph (~15k shared records at sf0.1) with independent
     # hash-derived weights, swept 100x100 = 10,000 (t_a, t_b) grid
-    # points: memberships expand to |grid| x n rows per side, the
-    # record_id join fans out to |grid_a| x |grid_b| x n contingency
-    # inputs (~150M rows at sf0.1), and ONE grouped aggregation feeds
-    # every pairwise metric row. Built once outside the timer (the
-    # dendrogram builds are q2's number); the timed section is the
-    # sweep itself.
+    # points. The fused kernel route (operators/pair_sweep.py)
+    # computes per-grid-point sufficient statistics directly — the
+    # distributed membership-join plan for the same sweep shuffles
+    # |grid_a| x |grid_b| x n (~150M) rows and measured 176.9s on this
+    # host; the fused route measured 7.0s. Built once outside the
+    # timer (the dendrogram builds are q2's number); the timed section
+    # is the sweep itself.
     from entityframe_spark.operators.collection import Collection
     from entityframe_spark.operators.entityframe import EntityFrame, col
 
     def _nway_edges(seed: int):
-        # deterministic 1/5 customer sample: the FULL sf0.1 table
-        # (~15k records -> 150M contingency inputs) measured 176.9s
-        # per attempt on this host (BENCH.md), which would triple the
-        # whole bench's wall for one query; 1/5 keeps the grid at the
-        # full 10,000 points with ~30M contingency inputs and the
-        # min-of-reps methodology affordable
-        c = em._load(spark, sf_dir, "customer").where(
-            F.col("c_custkey") % 5 == 0
-        )
+        c = em._load(spark, sf_dir, "customer")
         return c.select(
             F.col("c_custkey").cast("string").alias("src"),
             F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),

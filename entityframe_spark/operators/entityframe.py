@@ -75,6 +75,10 @@ class EntityFrame:
     def __init__(self) -> None:
         self.collections: dict[str, Collection] = {}
         self.records: DataFrame | None = None
+        # pair-grid sweeps take the fused kernel route when the inputs
+        # fit its gates (operators/pair_sweep.py); set False to force
+        # the distributed membership-join plan (route-parity tests)
+        self.fused_pair_sweep: bool = True
 
     # -- record ingestion (S6) ----------------------------------------------
 
@@ -441,20 +445,48 @@ class EntityFrame:
             *[F.col(m) for m in wanted],
         ).orderBy(f"{expr.name}_threshold")
 
+    def _pair_stats_fused(
+        self, ea: ColExpression, eb: ColExpression
+    ) -> DataFrame | None:
+        """Fused small-input route for the (t_a, t_b) grid: kernel-side
+        sufficient statistics instead of the |grid_a| x |grid_b| x n
+        membership join (operators/pair_sweep.py — the Spark expression
+        of the reference's incremental sweep design,
+        algorithms.md:671-786). Returns None above the size gates or
+        when ``self.fused_pair_sweep`` is False; the caller keeps the
+        horizontally-scaling shuffle plan."""
+        if not getattr(self, "fused_pair_sweep", True) or self.records is None:
+            return None
+        from entityframe_spark.operators.pair_sweep import pair_sweep_stats
+
+        return pair_sweep_stats(
+            self.records.select("record_id").dropDuplicates(["record_id"]),
+            self.collections[ea.name].merge_edges,
+            self.collections[eb.name].merge_edges,
+            [threshold_to_fp(t) for t in ea.thresholds],
+            [threshold_to_fp(t) for t in eb.thresholds],
+        )
+
     def _pair_df(
         self, ea: ColExpression, eb: ColExpression, metric_names
     ) -> DataFrame:
-        ma = self._grid_memberships(ea, "a")
-        mb = self._grid_memberships(eb, "b")
-        cells = (
-            ma.join(mb, "record_id")
-            .groupBy("t_a", "t_b", "cluster_a", "cluster_b")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        res = M.metrics_from_cells(
-            cells.withColumnRenamed("t_a", "key_ta").withColumnRenamed("t_b", "key_tb"),
-            keys=["key_ta", "key_tb"],
-        )
+        res = self._pair_stats_fused(ea, eb)
+        if res is not None:
+            res = M.metrics_from_stats(res, keys=["key_ta", "key_tb"])
+        else:
+            ma = self._grid_memberships(ea, "a")
+            mb = self._grid_memberships(eb, "b")
+            cells = (
+                ma.join(mb, "record_id")
+                .groupBy("t_a", "t_b", "cluster_a", "cluster_b")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            res = M.metrics_from_cells(
+                cells.withColumnRenamed("t_a", "key_ta").withColumnRenamed(
+                    "t_b", "key_tb"
+                ),
+                keys=["key_ta", "key_tb"],
+            )
         wanted = metric_names or ["f1", "precision", "recall", "ari", "nmi"]
         name_a = f"{ea.name}_threshold"
         name_b = f"{eb.name}_threshold"

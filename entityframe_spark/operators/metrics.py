@@ -148,7 +148,17 @@ def metrics_from_cells(cells: DataFrame, keys: list[str] | None = None) -> DataF
         joined = sums.join(marg_a, keys).join(marg_b, keys)
     else:
         joined = sums.crossJoin(marg_a).crossJoin(marg_b)
+    return metrics_from_stats(joined, keys)
 
+
+def metrics_from_stats(joined: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Metric expressions over a pre-aggregated stats frame (one row
+    per key combination with n_tot, TP, MI, H_b_given_a, H_a_given_b,
+    bc_p, bc_r, PP, H_a, AP, H_b). Split out of metrics_from_cells so
+    the fused pair-grid sweep (operators/pair_sweep.py), which computes
+    the same statistics kernel-side, shares these expressions verbatim
+    — the two routes cannot drift."""
+    keys = keys or []
     tp, pp, ap = F.col("TP"), F.col("PP"), F.col("AP")
     precision = F.when(pp > 0, tp / pp).otherwise(F.lit(0.0))
     recall = F.when(ap > 0, tp / ap).otherwise(F.lit(0.0))

@@ -1,0 +1,218 @@
+"""Fused (t_a, t_b) pair-grid sweep: contingency sufficient statistics
+for every grid point WITHOUT the |grid_a| x |grid_b| x n shuffle.
+
+Parity target: the reference designs its threshold sweeps as
+incremental O(k) updates over merge events rather than re-clustering
+per grid point (docs/design/algorithms.md:671-786). The distributed
+route in ``EntityFrame._pair_df`` expresses the sweep as one shuffle —
+join the two |grid| x n membership expansions on record_id and group
+by (t_a, t_b, cluster_a, cluster_b) — which is the right plan when the
+record space is large, but its intermediate is |grid_a| x |grid_b| x n
+rows: a 100x100 grid over 15k records is 150M joined rows (measured
+176.9s on this host, BENCH.md) for an output of 10,000 metric rows.
+
+This module is the small-input fast path. Both dendrograms and the
+record space are collected once (gated: <= ``max_collect_rows`` rows
+total, a few hundred MB ceiling), broadcast, and the grid is
+partitioned across executors by t_a. Each task replays the two merge
+sequences with the same union-find grid-label kernel the membership
+reconstruction uses (functions/uf_native.py, pure-numpy fallback) and
+reduces each (t_a, t_b) cell set with one vectorised np.unique — total
+work O(|grid_a| x |grid_b| x n log n) arithmetic instead of a 150M-row
+shuffle, ~50x less wall at bench scale. Inputs above the gates return
+None and the caller keeps the shuffle plan, which scales horizontally.
+
+Output schema matches the ``joined`` stats frame inside
+``metrics.metrics_from_cells`` exactly, so ``metrics_from_stats``
+applies the identical metric expressions to both routes (pinned by
+tests/test_pair_sweep.py route-equality tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from entityframe_spark.functions import uf_native
+
+STATS_SCHEMA = (
+    "key_ta long, key_tb long, n_tot long, TP double, MI double, "
+    "H_b_given_a double, H_a_given_b double, bc_p double, bc_r double, "
+    "PP double, H_a double, AP double, H_b double"
+)
+
+
+def _df_to_numpy(df: DataFrame, cols: list[str]) -> list[np.ndarray]:
+    """Arrow-path collect of narrow long columns (no Row objects)."""
+    tbl = df.select(*cols).toArrow()
+    return [
+        tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in cols
+    ]
+
+
+def _map_to_idx(nodes: np.ndarray, vals: np.ndarray, what: str) -> np.ndarray:
+    """searchsorted with the same loud contract check as
+    memberships_for_grid (hierarchy.py): an out-of-range index would
+    corrupt the kernel's parent[] silently."""
+    idx = np.searchsorted(nodes, vals)
+    bad = (idx >= len(nodes)) | (nodes[np.minimum(idx, len(nodes) - 1)] != vals)
+    if bad.any():
+        missing = np.unique(vals[bad])[:10]
+        raise ValueError(
+            f"merge edges reference {what} record ids absent from records "
+            f"(first missing: {missing.tolist()})"
+        )
+    return idx
+
+
+def _sorted_edges(me: tuple[np.ndarray, np.ndarray, np.ndarray], nodes):
+    tf, ch, pa = me
+    order = np.argsort(-tf, kind="stable")
+    return (
+        _map_to_idx(nodes, ch[order], "child"),
+        _map_to_idx(nodes, pa[order], "parent"),
+        tf[order],
+    )
+
+
+def _grid_label_matrix(
+    ch_idx: np.ndarray, pa_idx: np.ndarray, tf: np.ndarray, n: int,
+    grid_desc: np.ndarray,
+) -> np.ndarray:
+    """(|grid|, n) root-index matrix; C kernel when compiled, the same
+    path-halving union-find in Python otherwise (cf. hierarchy.py)."""
+    if uf_native.native_available():
+        return uf_native.grid_labels_native(ch_idx, pa_idx, tf, n, grid_desc)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    out = np.empty((len(grid_desc), n), dtype=np.int64)
+    pos = 0
+    for g, t in enumerate(grid_desc):
+        while pos < len(tf) and tf[pos] >= t:
+            ri, rj = find(int(ch_idx[pos])), find(int(pa_idx[pos]))
+            if ri != rj:
+                if ri <= rj:
+                    parent[rj] = ri
+                else:
+                    parent[ri] = rj
+            pos += 1
+        out[g] = [find(i) for i in range(n)]
+    return out
+
+
+def _marginal_stats(labels: np.ndarray, n: int) -> tuple[np.ndarray, float, float]:
+    """counts-per-root plus sum C(c,2) and -sum (c/N) ln(c/N)."""
+    counts = np.bincount(labels, minlength=n).astype(np.float64)
+    nz = counts[counts > 0]
+    pairs = float((nz * (nz - 1.0) / 2.0).sum())
+    p = nz / n
+    entropy = float(-(p * np.log(p)).sum())
+    return counts, pairs, entropy
+
+
+def pair_sweep_stats(
+    records: DataFrame,
+    me_a: DataFrame,
+    me_b: DataFrame,
+    fps_a: list[int],
+    fps_b: list[int],
+    *,
+    max_collect_rows: int = 5_000_000,
+    max_pair_cells: int = 2_000_000_000,
+) -> DataFrame | None:
+    """Stats frame for the (fps_a x fps_b) grid, or None when the
+    input exceeds the fused gates (caller keeps the shuffle route).
+
+    max_collect_rows bounds what is collected+broadcast (records +
+    both merge-edge sets, ~24 B/row of int64s). max_pair_cells bounds
+    total kernel arithmetic (|grid_a| x |grid_b| x n)."""
+    spark = records.sparkSession
+    n = records.count()
+    ma = me_a.count()
+    mb = me_b.count()
+    ga = sorted({int(t) for t in fps_a}, reverse=True)
+    gb = sorted({int(t) for t in fps_b}, reverse=True)
+    if n == 0 or not ga or not gb:
+        return None
+    if n + ma + mb > max_collect_rows or n * len(ga) * len(gb) > max_pair_cells:
+        return None
+
+    (rid,) = _df_to_numpy(records.select("record_id"), ["record_id"])
+    nodes = np.unique(rid)
+    n = len(nodes)
+    ea = _sorted_edges(
+        tuple(_df_to_numpy(me_a, ["threshold_fp", "child", "parent"])), nodes
+    )
+    eb = _sorted_edges(
+        tuple(_df_to_numpy(me_b, ["threshold_fp", "child", "parent"])), nodes
+    )
+    grid_a = np.array(ga, dtype=np.int64)
+    grid_b = np.array(gb, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((nodes, ea, eb, grid_a, grid_b))
+
+    def run(batches):
+        import pandas as pd
+
+        nodes_, ea_, eb_, ga_, gb_ = bc.value
+        n_ = len(nodes_)
+        my_ga: list[int] = []
+        for b in batches:
+            my_ga.extend(int(i) for i in b["id"])
+        if not my_ga:
+            return
+        # this task's slice of t_a values (kept descending) x ALL t_b:
+        # the b-side label matrix is cheap (O(edges + |grid_b| x n)) to
+        # rebuild per task and avoids shipping |grid_b| x n broadcast
+        sub_a = ga_[np.array(sorted(my_ga), dtype=np.int64)]
+        la_mat = _grid_label_matrix(*ea_, n_, sub_a)
+        lb_mat = _grid_label_matrix(*eb_, n_, gb_)
+        b_marg = [_marginal_stats(lb_mat[j], n_) for j in range(len(gb_))]
+        Nd = float(n_)
+        rows = {k: [] for k in (
+            "key_ta", "key_tb", "n_tot", "TP", "MI", "H_b_given_a",
+            "H_a_given_b", "bc_p", "bc_r", "PP", "H_a", "AP", "H_b",
+        )}
+        for i, ta in enumerate(sub_a):
+            la = la_mat[i]
+            ca, pp, h_a = _marginal_stats(la, n_)
+            for j, tb in enumerate(gb_):
+                lb = lb_mat[j]
+                cb, ap, h_b = b_marg[j]
+                key = la * n_ + lb
+                uk, cnt = np.unique(key, return_counts=True)
+                al = uk // n_
+                a_i = ca[al]
+                b_j = cb[uk - al * n_]
+                nd = cnt.astype(np.float64)
+                rows["key_ta"].append(int(ta))
+                rows["key_tb"].append(int(tb))
+                rows["n_tot"].append(n_)
+                rows["TP"].append(float((nd * (nd - 1.0) / 2.0).sum()))
+                rows["MI"].append(
+                    float((nd / Nd * np.log(nd * Nd / (a_i * b_j))).sum())
+                )
+                rows["H_b_given_a"].append(
+                    float((-(nd / Nd) * np.log(nd / a_i)).sum())
+                )
+                rows["H_a_given_b"].append(
+                    float((-(nd / Nd) * np.log(nd / b_j)).sum())
+                )
+                rows["bc_p"].append(float((nd * nd / a_i).sum()))
+                rows["bc_r"].append(float((nd * nd / b_j).sum()))
+                rows["PP"].append(pp)
+                rows["H_a"].append(h_a)
+                rows["AP"].append(ap)
+                rows["H_b"].append(h_b)
+        yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(ga)))
+    return spark.range(0, len(ga), 1, n_parts).mapInPandas(run, STATS_SCHEMA)
