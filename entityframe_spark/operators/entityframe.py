@@ -417,6 +417,40 @@ class EntityFrame:
         )
 
     def _single_df(self, expr: ColExpression, metric_names) -> DataFrame:
+        # large grids: |grid| x n membership cells are never
+        # materialised for two scalars per threshold — replay the
+        # dendrogram through the sized sweep and take the O(m + |grid|)
+        # incremental merge-delta path, same gate as Collection.sweep.
+        # n_records is the FRAME record count, so records this
+        # collection never saw enter as singletons (shared-DataContext
+        # isolate semantics, identical to the membership route below).
+        coll = self.collections[expr.name]
+        recs = self.records if self.records is not None else coll.records
+        n_rec = recs.select("record_id").distinct().count()
+        max_cells = getattr(self, "single_sweep_max_cells", 50_000_000)
+        if len(expr.thresholds) * n_rec > max_cells:
+            from entityframe_spark.operators import hierarchy
+
+            sized = hierarchy.build_merge_edges_sized(
+                coll.merge_edges.select(
+                    F.col("child").alias("src"),
+                    F.col("parent").alias("dst"),
+                    F.col("threshold_fp").alias("w_fp"),
+                )
+            )
+            fps = [threshold_to_fp(t) for t in expr.thresholds]
+            out = hierarchy.sweep_stats_from_merges(sized, n_rec, fps).select(
+                F.col("threshold_fp").alias("t_a"),
+                "entity_count",
+                F.round("entropy", 9).alias("entropy"),
+            )
+            wanted = metric_names or ["entity_count", "entropy"]
+            return out.select(
+                (F.col("t_a") / F.lit(float(PRECISION_FACTOR))).alias(
+                    f"{expr.name}_threshold"
+                ),
+                *[F.col(m) for m in wanted],
+            ).orderBy(f"{expr.name}_threshold")
         mem = self._grid_memberships(expr, "a")
         sizes = mem.groupBy("t_a", "cluster_a").agg(F.count(F.lit(1)).alias("sz"))
         totals = mem.groupBy("t_a").agg(F.count(F.lit(1)).alias("N"))

@@ -102,6 +102,32 @@ def test_fused_gate_falls_back(spark):
     assert len(_rows(ef.analyse_df(ga, gb))) == 3
 
 
+def test_single_sweep_incremental_route_matches(spark):
+    # EntityFrame._single_df routes big grids through the O(m+|grid|)
+    # merge-delta path; force it with a tiny cell gate and pin equality
+    # with the membership route, including frame-space isolates (the
+    # extra records that only collection b introduced must count as
+    # singletons in a's sweep on BOTH routes)
+    ef = _frame(spark, 1, 2)
+    ef.add_collection(
+        "c", Collection.from_edges(spark, [("iso1", "iso2", 0.4)])
+    )
+    g = col("a").sweep(0.1, 0.9, 0.2)
+    base = {
+        round(r[0], 9): (r[1], r[2])
+        for r in ef.analyse_df(g, metrics=["entity_count", "entropy"]).collect()
+    }
+    ef.single_sweep_max_cells = 1
+    inc = {
+        round(r[0], 9): (r[1], r[2])
+        for r in ef.analyse_df(g, metrics=["entity_count", "entropy"]).collect()
+    }
+    assert set(base) == set(inc) and len(base) == 5
+    for t in base:
+        assert base[t][0] == inc[t][0], (t, base[t], inc[t])
+        assert math.isclose(base[t][1], inc[t][1], rel_tol=0, abs_tol=2e-9)
+
+
 def test_fused_no_merges_above_grid(spark):
     # every edge below the grid: both sides are all singletons at all
     # grid points -> identical partitions, perfect metrics
