@@ -88,34 +88,103 @@ static double jw_one(const uint32_t* s1, int l1, const uint32_t* s2,
     return j;
 }
 
+/* Exact Levenshtein distance via Myers' bit-parallel algorithm
+   (Myers, JACM 1999), block-based for patterns > 64 codepoints
+   (Hyyro, "A Bit-Vector Algorithm for Computing Levenshtein and
+   Damerau Edit Distances", 2003 — the same formulation battle-tested
+   in edlib). Distances are IDENTICAL to the plain O(l1*l2) DP this
+   replaced (pinned by the JVM-levenshtein parity test); the work per
+   text char drops from l1 cell updates to ceil(l1/64) word ops.
+   Common prefix/suffix are trimmed first (edit-distance preserving),
+   which near-duplicate candidate pairs hit hard.
+
+   Static scratch => NOT thread-safe; each PySpark worker is its own
+   process and calls the kernel from one thread. Max pattern 1024
+   (lev_one caps inputs) -> W <= 16 blocks, table <= 2048 slots. */
+static uint32_t lev_keys[2048];
+static uint64_t lev_peq[2048 * 16];
+
+static int lev_dist(const uint32_t* s1, int l1, const uint32_t* s2, int l2)
+{
+    while (l1 > 0 && l2 > 0 && *s1 == *s2) { s1++; s2++; l1--; l2--; }
+    while (l1 > 0 && l2 > 0 && s1[l1 - 1] == s2[l2 - 1]) { l1--; l2--; }
+    if (l1 == 0) return l2;
+    if (l2 == 0) return l1;
+    const uint32_t *p = s1, *t = s2;
+    int m = l1, n = l2;
+    if (m > n) { p = s2; t = s1; m = l2; n = l1; }   /* fewer blocks */
+    int W = (m + 63) >> 6;
+    int tbits = 3;
+    while ((1 << tbits) < 2 * m) tbits++;
+    int tmask = (1 << tbits) - 1;
+    /* build Peq: open-addressed pattern-codepoint -> W-word mask
+       (0xFFFFFFFF is not a valid codepoint => safe empty marker) */
+    memset(lev_keys, 0xFF, ((size_t)tmask + 1) * sizeof(uint32_t));
+    for (int i = 0; i < m; i++) {
+        uint32_t c = p[i];
+        uint32_t h = (c * 2654435761u) >> (32 - tbits);
+        for (;;) {
+            if (lev_keys[h] == 0xFFFFFFFFu) {
+                lev_keys[h] = c;
+                memset(lev_peq + (size_t)h * W, 0, (size_t)W * 8);
+                break;
+            }
+            if (lev_keys[h] == c) break;
+            h = (h + 1) & tmask;
+        }
+        lev_peq[(size_t)h * W + (i >> 6)] |= 1ull << (i & 63);
+    }
+    uint64_t VP[16], VN[16];
+    for (int b = 0; b < W; b++) { VP[b] = ~0ull; VN[b] = 0; }
+    uint64_t lastbit = 1ull << ((m - 1) & 63);
+    int score = m;
+    for (int j = 0; j < n; j++) {
+        uint32_t c = t[j];
+        uint32_t h = (c * 2654435761u) >> (32 - tbits);
+        const uint64_t* Eqp = 0;
+        for (;;) {
+            if (lev_keys[h] == 0xFFFFFFFFu) break;
+            if (lev_keys[h] == c) { Eqp = lev_peq + (size_t)h * W; break; }
+            h = (h + 1) & tmask;
+        }
+        int hin = 1;   /* top boundary row D[0][j] = j */
+        for (int b = 0; b < W; b++) {
+            uint64_t Eq = Eqp ? Eqp[b] : 0;
+            uint64_t Pv = VP[b], Mv = VN[b];
+            uint64_t hinneg = (uint64_t)(hin < 0);
+            uint64_t Xv = Eq | Mv;
+            Eq |= hinneg;
+            uint64_t Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq;
+            uint64_t Ph = Mv | ~(Xh | Pv);
+            uint64_t Mh = Pv & Xh;
+            /* horizontal delta at this block's bottom row; for the
+               (possibly partial) last block that row is m-1 */
+            uint64_t hb = (b == W - 1) ? lastbit : 0x8000000000000000ull;
+            int hout = (Ph & hb) ? 1 : ((Mh & hb) ? -1 : 0);
+            Ph <<= 1; Mh <<= 1;
+            Mh |= hinneg;
+            Ph |= (uint64_t)(hin > 0);
+            VP[b] = Mh | ~(Xv | Ph);
+            VN[b] = Ph & Xv;
+            hin = hout;
+        }
+        score += hin;
+    }
+    return score;
+}
+
 /* Normalised Levenshtein similarity 1 - dist/max(l1,l2) — identical
-   semantics to Spark's built-in levenshtein() on truncated inputs
-   (plain codepoint DP, two rolling rows). Both empty -> 1.0. */
+   semantics to Spark's built-in levenshtein() on truncated inputs.
+   Both empty -> 1.0. */
 static double lev_one(const uint32_t* s1, int l1, const uint32_t* s2, int l2)
 {
-    int rows[2][1025];
     if (l1 > 1024) l1 = 1024;
     if (l2 > 1024) l2 = 1024;
     if (l1 == 0 && l2 == 0) return 1.0;
     if (l1 == 0 || l2 == 0) return 0.0;
     if (l1 == l2 && memcmp(s1, s2, (size_t)l1 * 4) == 0) return 1.0;
-    int *prev = rows[0], *cur = rows[1];
-    for (int j = 0; j <= l2; j++) prev[j] = j;
-    for (int i = 1; i <= l1; i++) {
-        cur[0] = i;
-        uint32_t c = s1[i - 1];
-        for (int j = 1; j <= l2; j++) {
-            int d = prev[j - 1] + (s2[j - 1] != c);
-            int a = prev[j] + 1;
-            int b = cur[j - 1] + 1;
-            if (a < d) d = a;
-            if (b < d) d = b;
-            cur[j] = d;
-        }
-        int* t = prev; prev = cur; cur = t;
-    }
     int mx = l1 > l2 ? l1 : l2;
-    return 1.0 - prev[l2] / (double)mx;
+    return 1.0 - lev_dist(s1, l1, s2, l2) / (double)mx;
 }
 
 void jw_batch(const uint32_t* A, const uint32_t* B,
@@ -147,6 +216,96 @@ void lev_jw_batch(const uint32_t* A, const uint32_t* B,
         const uint32_t* s1 = A + r * (int64_t)width;
         const uint32_t* s2 = B + r * (int64_t)width;
         int l1 = la[r], l2 = lb[r];
+        int v1 = l1 < lev_max_len ? l1 : lev_max_len;
+        int v2 = l2 < lev_max_len ? l2 : lev_max_len;
+        lev_out[r] = lev_one(s1, v1, s2, v2);
+        int j1 = l1 < jw_max_len ? l1 : jw_max_len;
+        int j2 = l2 < jw_max_len ? l2 : jw_max_len;
+        jw_out[r] = jw_one(s1, j1, s2, j2, prefix_weight);
+    }
+}
+
+#include <stdlib.h>
+
+/* ---- combined pair-scoring kernel (r6): set-intersect sizes +
+   lev + JW in one pass, so the whole per-pair feature computation
+   happens here instead of as JVM array_intersect (boxed OpenHashSet
+   per pair) + a separate string UDF. ---- */
+
+static int sorted64(const int64_t* a, int64_t n)
+{
+    for (int64_t i = 1; i < n; i++) if (a[i] < a[i - 1]) return 0;
+    return 1;
+}
+
+static int cmp64(const void* x, const void* y)
+{
+    int64_t a = *(const int64_t*)x, b = *(const int64_t*)y;
+    return a < b ? -1 : (a > b);
+}
+
+/* |distinct values common to a and b| — exact parity with
+   size(array_intersect(a, b)) (distinct semantics, duplicates in
+   either input collapse). Inputs are normally pre-sorted by the
+   feature-prep projection; an unsorted side is detected and sorted
+   into scratch, so correctness never depends on the caller. */
+static int64_t isect_size(const int64_t* a, int64_t na,
+                          const int64_t* b, int64_t nb, int64_t* scratch)
+{
+    if (!sorted64(a, na)) {
+        memcpy(scratch, a, (size_t)na * 8);
+        qsort(scratch, (size_t)na, 8, cmp64);
+        a = scratch; scratch += na;
+    }
+    if (!sorted64(b, nb)) {
+        memcpy(scratch, b, (size_t)nb * 8);
+        qsort(scratch, (size_t)nb, 8, cmp64);
+        b = scratch;
+    }
+    int64_t i = 0, j = 0, c = 0;
+    while (i < na && j < nb) {
+        int64_t va = a[i], vb = b[j];
+        if (va < vb) i++;
+        else if (va > vb) j++;
+        else {
+            c++;
+            while (i < na && a[i] == va) i++;
+            while (j < nb && b[j] == vb) j++;
+        }
+    }
+    return c;
+}
+
+static int64_t score_scratch[16384];
+
+/* All offset arrays are length n+1, absolute indices into the value
+   buffers (Arrow list layout). String offsets index utf-32 codepoint
+   buffers. Outputs: gram/token intersect sizes (int32) + lev/jw. */
+void score_batch(const int64_t* lgv, const int64_t* lgo,
+                 const int64_t* rgv, const int64_t* rgo,
+                 const int64_t* ltv, const int64_t* lto,
+                 const int64_t* rtv, const int64_t* rto,
+                 const uint32_t* A, const int64_t* ao,
+                 const uint32_t* B, const int64_t* bo,
+                 int64_t n, double prefix_weight,
+                 int32_t lev_max_len, int32_t jw_max_len,
+                 int32_t* gi_out, int32_t* ti_out,
+                 double* lev_out, double* jw_out)
+{
+    for (int64_t r = 0; r < n; r++) {
+        int64_t ng1 = lgo[r + 1] - lgo[r], ng2 = rgo[r + 1] - rgo[r];
+        int64_t nt1 = lto[r + 1] - lto[r], nt2 = rto[r + 1] - rto[r];
+        int64_t need = (ng1 + ng2 > nt1 + nt2 ? ng1 + ng2 : nt1 + nt2);
+        int64_t* scr = score_scratch;
+        int heap = need > 16384;
+        if (heap) scr = (int64_t*)malloc((size_t)need * 8);
+        gi_out[r] = (int32_t)isect_size(lgv + lgo[r], ng1, rgv + rgo[r], ng2, scr);
+        ti_out[r] = (int32_t)isect_size(ltv + lto[r], nt1, rtv + rto[r], nt2, scr);
+        if (heap) free(scr);
+        const uint32_t* s1 = A + ao[r];
+        const uint32_t* s2 = B + bo[r];
+        int l1 = (int)(ao[r + 1] - ao[r]);
+        int l2 = (int)(bo[r + 1] - bo[r]);
         int v1 = l1 < lev_max_len ? l1 : lev_max_len;
         int v2 = l2 < lev_max_len ? l2 : lev_max_len;
         lev_out[r] = lev_one(s1, v1, s2, v2);
@@ -256,6 +415,16 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.lev_jw_batch.restype = None
+    _i64 = ctypes.POINTER(ctypes.c_int64)
+    _u32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.score_batch.argtypes = [
+        _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
+        _u32, _i64, _u32, _i64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.score_batch.restype = None
     return lib
 
 
@@ -287,8 +456,27 @@ def _pack(a_strs, b_strs, max_len: int):
     return A, B, la, lb, width
 
 
+def _pack_offsets(strs, max_len: int):
+    """Truncate and concatenate WITHOUT padding: one join+encode, plus
+    an int64 offsets array (n+1, absolute codepoint indices). Replaces
+    the padded _pack for the scoring kernel — the per-row ljust of
+    _pack was the dominant Python-side cost once the DP went
+    bit-parallel."""
+    t = [(s or "")[:max_len] for s in strs]
+    n = len(t)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(s) for s in t), dtype=np.int64, count=n), out=off[1:])
+    buf = "".join(t).encode("utf-32-le")
+    arr = np.frombuffer(buf, dtype=np.uint32) if buf else np.zeros(1, np.uint32)
+    return arr, off
+
+
 def _u32p(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
 def _i32p(arr):
@@ -405,3 +593,63 @@ def lev_jw_batch_native(
         _f64p(lev), _f64p(jw),
     )
     return lev, jw
+
+
+def _c64(vals: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Contiguous int64 (values, offsets) pair for the C kernel."""
+    return (
+        np.ascontiguousarray(vals, dtype=np.int64),
+        np.ascontiguousarray(off, dtype=np.int64),
+    )
+
+
+def score_batch_native(
+    lg_vals, lg_off, rg_vals, rg_off,
+    lt_vals, lt_off, rt_vals, rt_off,
+    a_strs, b_strs,
+    lev_max_len: int = 256,
+    jw_max_len: int = 128,
+    prefix_weight: float = 0.1,
+):
+    """One C pass over a pair batch: gram/token intersect sizes
+    (distinct semantics — exact parity with size(array_intersect)),
+    normalised Levenshtein over the lev prefix, Jaro-Winkler over the
+    jw prefix. Array inputs are Arrow list layout: int64 value buffers
+    plus n+1 absolute offsets. Returns (gi, ti, lev, jw)."""
+    tune_allocator()
+    if not native_available():
+        raise RuntimeError(
+            "native scoring kernel unavailable on this worker (no C "
+            "compiler?); use the pure-Python scoring fallback"
+        )
+    n = len(a_strs)
+    gi = np.zeros(n, dtype=np.int32)
+    ti = np.zeros(n, dtype=np.int32)
+    lev = np.zeros(n, dtype=np.float64)
+    jw = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return gi, ti, lev, jw
+    _empty = np.zeros(1, np.int64)  # valid pointer for empty value buffers
+
+    def _nz(a: np.ndarray) -> np.ndarray:
+        return a if a.size else _empty
+
+    lgv, lgo = _c64(lg_vals, lg_off)
+    rgv, rgo = _c64(rg_vals, rg_off)
+    ltv, lto = _c64(lt_vals, lt_off)
+    rtv, rto = _c64(rt_vals, rt_off)
+    lgv, rgv, ltv, rtv = _nz(lgv), _nz(rgv), _nz(ltv), _nz(rtv)
+    A, ao = _pack_offsets(a_strs, max(lev_max_len, jw_max_len))
+    B, bo = _pack_offsets(b_strs, max(lev_max_len, jw_max_len))
+    _lib.score_batch(
+        _i64p(lgv), _i64p(lgo),
+        _i64p(rgv), _i64p(rgo),
+        _i64p(ltv), _i64p(lto),
+        _i64p(rtv), _i64p(rto),
+        _u32p(A), _i64p(ao), _u32p(B), _i64p(bo),
+        n, float(prefix_weight), int(lev_max_len), int(jw_max_len),
+        ctypes.cast(gi.ctypes.data, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(ti.ctypes.data, ctypes.POINTER(ctypes.c_int32)),
+        _f64p(lev), _f64p(jw),
+    )
+    return gi, ti, lev, jw

@@ -65,10 +65,15 @@ def prepare_record_features(collapsed: DataFrame, text_col: str = "full_text") -
         )
     )
     hash_all = lambda arr: F.transform(arr, lambda s: F.xxhash64(s))  # noqa: E731
+    # array_sort: intersect sizes are order-independent (so every
+    # downstream feature value is unchanged), but pre-sorted arrays let
+    # the C scoring kernel run a linear merge-intersect instead of
+    # per-pair hashing (r6; the kernel still detects and sorts unsorted
+    # inputs, so correctness never depends on this)
     return (
         out.withColumn("prefix", F.substring(F.col(text_col), 1, PREFIX_LEN))
-        .withColumn("toks_h", hash_all(F.array_distinct(F.col("_toks_raw"))))
-        .withColumn("grams_h", hash_all(grams))
+        .withColumn("toks_h", F.array_sort(hash_all(F.array_distinct(F.col("_toks_raw")))))
+        .withColumn("grams_h", F.array_sort(hash_all(grams)))
         .drop("_toks_raw")
     )
 
@@ -139,6 +144,167 @@ def _containment(a, b):
     return F.when(denom == 0, F.lit(1.0)).otherwise(inter / denom)
 
 
+def _score_pairs_arrow(
+    src_df: DataFrame, lev_max_len: int, jw_max_len: int
+) -> DataFrame:
+    """r6 fast path: the ENTIRE per-pair feature computation — gram and
+    token intersect sizes, Levenshtein, Jaro-Winkler — in ONE
+    mapInArrow stage backed by the C scoring kernel
+    (functions/jw_native.py score_batch).
+
+    Why (guide §4.2 / §1.2): the previous plan computed intersect sizes
+    with JVM array_intersect — an OpenHashSet of BOXED values built per
+    pair, measured 2.3s for 515k pairs (~75% of the JVM stage) — then
+    paid a repartition barrier so the string UDF would not see the wide
+    array columns as pass-through. Moving the intersects into the same
+    native kernel as lev/JW (linear merge over pre-sorted hash arrays)
+    removes both the boxed per-pair hashing AND the barrier Exchange:
+    the plan is now scan -> broadcast joins -> MapInArrow -> project,
+    one stage, no shuffle. The arrays are consumed INSIDE the Arrow
+    stage (not passed through), so the output rows stay narrow.
+
+    Feature values are bit-identical to the JVM path: intersect size
+    has distinct-value semantics exactly like size(array_intersect),
+    lev/JW are the same kernels, and the final feature expressions
+    (divisions + round) stay in the JVM so both routes share them.
+    Workers without a C compiler fall back to a pure-Python batch with
+    the same semantics (heterogeneous-cluster contract, ADVICE r3)."""
+    pack_len = max(int(lev_max_len), int(jw_max_len))
+    lev_cap, jw_cap = int(lev_max_len), int(jw_max_len)
+    src = src_df.select(
+        "left_id",
+        "right_id",
+        "block_key",
+        "lgrams",
+        "rgrams",
+        "ltoks",
+        "rtoks",
+        F.substring(F.col("left_text"), 1, pack_len).alias("_lp"),
+        F.substring(F.col("right_text"), 1, pack_len).alias("_rp"),
+    )
+    out_schema = (
+        "left_id long, right_id long, block_key string, "
+        "_gi int, _gl int, _gr int, _ti int, _tl int, _tr int, "
+        "_lev double, _jw double"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from entityframe_spark.functions import jw_native
+
+        jw_native.tune_allocator()
+
+        def list_np(arr):
+            """Arrow ListArray -> (int64 values, int64 offsets[n+1],
+            absolute). Null entries (not produced by the pipeline, but
+            contract-safe) become empty lists."""
+            if arr.null_count:
+                py = arr.to_pylist()
+                lens = np.fromiter(
+                    (0 if v is None else len(v) for v in py),
+                    np.int64,
+                    count=len(py),
+                )
+                off = np.zeros(len(py) + 1, np.int64)
+                np.cumsum(lens, out=off[1:])
+                vals = np.fromiter(
+                    (x for v in py if v for x in v), np.int64
+                )
+                return vals, off
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            return vals, off
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            idx = {nm: i for i, nm in enumerate(b.schema.names)}
+            lgv, lgo = list_np(b.column(idx["lgrams"]))
+            rgv, rgo = list_np(b.column(idx["rgrams"]))
+            ltv, lto = list_np(b.column(idx["ltoks"]))
+            rtv, rto = list_np(b.column(idx["rtoks"]))
+            lp = b.column(idx["_lp"]).to_pylist()
+            rp = b.column(idx["_rp"]).to_pylist()
+            if jw_native.native_available():
+                gi, ti, lev, jw = jw_native.score_batch_native(
+                    lgv, lgo, rgv, rgo, ltv, lto, rtv, rto,
+                    lp, rp, lev_cap, jw_cap,
+                )
+            else:
+                # pure-Python batch, same semantics (distinct-value
+                # intersects; fallback lev/JW kernels)
+                lev, jw = jw_native.lev_jw_batch_fallback(
+                    lp, rp, lev_cap, jw_cap
+                )
+                gi = np.fromiter(
+                    (
+                        len(
+                            set(lgv[lgo[i]:lgo[i + 1]])
+                            & set(rgv[rgo[i]:rgo[i + 1]])
+                        )
+                        for i in range(n)
+                    ),
+                    np.int32,
+                    count=n,
+                )
+                ti = np.fromiter(
+                    (
+                        len(
+                            set(ltv[lto[i]:lto[i + 1]])
+                            & set(rtv[rto[i]:rto[i + 1]])
+                        )
+                        for i in range(n)
+                    ),
+                    np.int32,
+                    count=n,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["left_id"]),
+                    b.column(idx["right_id"]),
+                    b.column(idx["block_key"]),
+                    pa.array(gi, pa.int32()),
+                    pa.array(np.diff(lgo).astype(np.int32), pa.int32()),
+                    pa.array(np.diff(rgo).astype(np.int32), pa.int32()),
+                    pa.array(ti, pa.int32()),
+                    pa.array(np.diff(lto).astype(np.int32), pa.int32()),
+                    pa.array(np.diff(rto).astype(np.int32), pa.int32()),
+                    pa.array(lev, pa.float64()),
+                    pa.array(jw, pa.float64()),
+                ],
+                names=[
+                    "left_id", "right_id", "block_key",
+                    "_gi", "_gl", "_gr", "_ti", "_tl", "_tr",
+                    "_lev", "_jw",
+                ],
+            )
+
+    gi, gl, gr = F.col("_gi"), F.col("_gl"), F.col("_gr")
+    ti, tl, tr = F.col("_ti"), F.col("_tl"), F.col("_tr")
+    # identical expressions (and therefore identical doubles) to the
+    # JVM route's projection below
+    return src.mapInArrow(run, out_schema).select(
+        "left_id",
+        "right_id",
+        "block_key",
+        F.round(
+            F.when(F.least(gl, gr) == 0, F.lit(1.0)).otherwise(gi / F.least(gl, gr)),
+            6,
+        ).alias("bigram_containment"),
+        F.round(
+            F.when(gl + gr - gi == 0, F.lit(1.0)).otherwise(gi / (gl + gr - gi)), 6
+        ).alias("bigram_jaccard"),
+        F.round(
+            F.when(tl + tr - ti == 0, F.lit(1.0)).otherwise(ti / (tl + tr - ti)), 6
+        ).alias("token_jaccard"),
+        F.round(F.col("_lev"), 6).alias("levenshtein"),
+        F.round(F.col("_jw"), 6).alias("jaro_winkler"),
+    )
+
+
 def score_pairs(
     pairs_with_texts: DataFrame,
     feature_weights: dict[str, float] | None = None,
@@ -148,8 +314,14 @@ def score_pairs(
     """-> (left_id, right_id, block_key, <features>, weight).
     weight = convex combination of the features.
 
+    Default route (r6): ONE MapInArrow stage computing every per-pair
+    feature in the native scoring kernel — see _score_pairs_arrow.
+    No exchange, no barrier, narrow output rows.
+
+    JVM fallback route (driver without a C compiler, or custom weights
+    omitting jaro_winkler): the r4/r5 two-stage plan below —
     ONE LINEAR PLAN in two projection stages separated by a NARROW
-    lazy localCheckpoint, on purpose:
+    barrier, on purpose:
 
     - stage 1 (JVM codegen): ONE array_intersect per hash-set pair —
       containment and jaccard both derive from it via
@@ -181,6 +353,20 @@ def score_pairs(
     from entityframe_spark.functions import jw_native
 
     w = feature_weights or DEFAULT_WEIGHTS
+
+    def _weighted(scored: DataFrame) -> DataFrame:
+        total = sum(w.values())
+        weight = None
+        for name, coef in w.items():
+            term = F.col(name) * F.lit(coef / total)
+            weight = term if weight is None else weight + term
+        return scored.withColumn("weight", F.round(weight, 6))
+
+    if "jaro_winkler" in w and jw_native.native_available():
+        return _weighted(
+            _score_pairs_arrow(pairs_with_texts, lev_max_len, jw_max_len)
+        )
+
     lt, rt = F.col("left_text"), F.col("right_text")
     gi, gl, gr = F.col("_gi"), F.col("_gl"), F.col("_gr")
     ti, tl, tr = F.col("_ti"), F.col("_tl"), F.col("_tr")
@@ -271,9 +457,4 @@ def score_pairs(
             "levenshtein",
             F.round(levenshtein_sim(F.col("_lp"), F.col("_rp"), lev_max_len), 6),
         ).drop("_lp", "_rp")
-    total = sum(w.values())
-    weight = None
-    for name, coef in w.items():
-        term = F.col(name) * F.lit(coef / total)
-        weight = term if weight is None else weight + term
-    return scored.withColumn("weight", F.round(weight, 6))
+    return _weighted(scored)

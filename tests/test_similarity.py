@@ -219,3 +219,122 @@ def test_lev_jw_fallback_matches_native_when_jw_prefix_longer():
     lev_f, jw_f = jw_native.lev_jw_batch_fallback(a, b, lev_max_len=8, jw_max_len=24)
     assert lev_n == pytest.approx(lev_f.tolist())
     assert jw_n == pytest.approx(jw_f.tolist())
+
+
+def test_myers_lev_matches_plain_dp_across_block_boundaries():
+    """r6: the C Levenshtein went bit-parallel (Myers 1999 / Hyyro 2003
+    blocks). Distances must equal the plain DP exactly — especially at
+    word-boundary pattern lengths (63..66, 127..130) and with repeated
+    characters, where block carry bugs hide."""
+    import random
+
+    import pytest
+
+    from entityframe_spark.functions import jw_native
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+
+    def dp(a, b):
+        la, lb = len(a), len(b)
+        if la == 0:
+            return lb
+        if lb == 0:
+            return la
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                )
+            prev = cur
+        return prev[lb]
+
+    rng = random.Random(17)
+    lens = [0, 1, 2, 63, 64, 65, 66, 100, 127, 128, 129, 200, 256]
+    cases = [("a" * 64, "a" * 64), ("a" * 65, "b" * 65), ("ab" * 100, "ba" * 100)]
+    for _ in range(250):
+        alpha = rng.choice(["ab", "abcdefgh", "xyzбвг"])
+        a = "".join(rng.choice(alpha) for _ in range(rng.choice(lens)))
+        if rng.random() < 0.5:
+            b = list(a)
+            for _ in range(rng.randint(0, 6)):
+                if not b:
+                    break
+                i = rng.randrange(len(b))
+                op = rng.random()
+                if op < 0.34:
+                    b[i] = rng.choice(alpha)
+                elif op < 0.67:
+                    del b[i]
+                else:
+                    b.insert(i, rng.choice(alpha))
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(alpha) for _ in range(rng.choice(lens)))
+        cases.append((a, b))
+    av = [c[0] for c in cases]
+    bv = [c[1] for c in cases]
+    lev, _ = jw_native.lev_jw_batch_native(av, bv, 1024, 128)
+    for (a, b), got in zip(cases, lev):
+        if not a and not b:
+            want = 1.0
+        elif not a or not b:
+            want = 0.0
+        else:
+            want = 1.0 - dp(a, b) / max(len(a), len(b))
+        assert abs(got - want) < 1e-12, (a[:40], b[:40], got, want)
+
+
+def test_score_batch_native_matches_jvm_feature_path(spark):
+    """r6: the fused Arrow scoring route (C intersects + lev/JW) must
+    produce bit-identical feature values to the JVM
+    array_intersect + builtin-levenshtein route on the same pairs —
+    including unsorted hash arrays (kernel sorts internally)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.functions import jw_native
+    from entityframe_spark.pipeline.scoring import score_pairs
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+    rows = [
+        (1, 2, "k", "alpha beta gamma", "alpha beta delta",
+         [3, 1, 2], [2, 3, 9], [10, 11], [11, 12]),
+        (3, 4, "k", "", "nonempty text here", [], [1], [], [5]),
+        (5, 6, "k", "same same", "same same", [7, 7, 8], [8, 7], [1], [1]),
+        (7, 8, "k", "x" * 300, "x" * 150 + "y" * 150,
+         list(range(40, 0, -1)), list(range(20, 60)), [2, 4], [4, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "left_id long, right_id long, block_key string, left_text string, "
+        "right_text string, lgrams array<long>, rgrams array<long>, "
+        "ltoks array<long>, rtoks array<long>",
+    )
+    new = {
+        (r["left_id"], r["right_id"]): r
+        for r in score_pairs(df).collect()
+    }
+    orig = jw_native.native_available
+    try:
+        jw_native.native_available = lambda: False  # force the JVM route
+        old = {
+            (r["left_id"], r["right_id"]): r
+            for r in score_pairs(df).collect()
+        }
+    finally:
+        jw_native.native_available = orig
+    assert set(new) == set(old)
+    cols = [
+        "bigram_containment", "bigram_jaccard", "token_jaccard",
+        "levenshtein", "jaro_winkler", "weight",
+    ]
+    for k in new:
+        for c in cols:
+            assert new[k][c] == old[k][c], (k, c, new[k][c], old[k][c])
