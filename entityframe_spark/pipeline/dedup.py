@@ -61,25 +61,28 @@ def minhash_lsh_candidates(
     jaccard >= ~0.85, where recall is >99%, while j=0.5 impostors
     collide <3% (measured: 4-row bands emitted 283k candidates from
     5k docs of which 256 verified — 1000x false-positive work)."""
+    from entityframe_spark.pipeline.blocking import pair_combinations
+
     udf = make_lsh_band_keys_udf(shingle_k, num_hashes, bands)
     keys = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(udf(F.col(text_col))).alias("block_key"),
     )
-    # three consumers below (sizes agg + both join sides): checkpoint so
-    # the pandas UDF evaluates once, not three times
-    keys = keys.localCheckpoint(eager=False)
-    sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
-    keys = keys.join(sizes.where(F.col("_bsz") <= max_band_size), "block_key").select(
-        "doc_id", "block_key"
+    # r6 (guide §2.4): group each band to one row, apply the hot-band
+    # cap as WHERE size(ids) <= cap, and explode the in-JVM pair
+    # combinations — replacing the keys self-join, which evaluated the
+    # band-keys UDF subtree once per join side (plus once for the size
+    # aggregation) and re-ran the whole chain concurrently inside the
+    # first job that materialised it (measured: bench q4 8.9s -> 0.8s).
+    # Same pair set; ONE UDF evaluation; no checkpoint needed.
+    grouped = keys.groupBy("block_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("_ids")
     )
-    l, r = keys.alias("l"), keys.alias("r")
     return (
-        l.join(r, "block_key")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("left_id"), F.col("r.doc_id").alias("right_id")
-        )
+        grouped.where(F.size("_ids") <= F.lit(int(max_band_size)))
+        .select(F.explode(pair_combinations(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.left_id"), F.col("_p.right_id"))
+        .where(F.col("left_id") < F.col("right_id"))
         .distinct()
     )
 
@@ -141,7 +144,7 @@ def simhash_candidates(
     sim = make_simhash_udf()
     sigs = docs.select(
         F.col(id_col).alias("doc_id"), sim(F.col(text_col)).alias("simhash")
-    ).localCheckpoint(eager=False)
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bandkeys = sigs.select(
@@ -162,26 +165,40 @@ def simhash_candidates(
             )
         ).alias("band"),
     )
-    # consumed by the sizes agg + both join sides: evaluate once
-    bandkeys = bandkeys.localCheckpoint(eager=False)
-    bsizes = bandkeys.groupBy("band").agg(F.count(F.lit(1)).alias("_bsz"))
-    bandkeys = bandkeys.join(
-        bsizes.where(F.col("_bsz") <= max_band_size), "band"
-    ).select("doc_id", "simhash", "band")
-    l, r = bandkeys.alias("l"), bandkeys.alias("r")
-    pairs = (
-        l.join(r, "band")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("left_id"),
-            F.col("r.doc_id").alias("right_id"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+    # r6 (guide §2.4): same grouped-band pair generation as
+    # minhash_lsh_candidates — one groupBy(band) collecting
+    # (doc_id, simhash) structs, the hot-band cap as WHERE size <= cap,
+    # pairs + hamming from the in-JVM combination explode. Replaces the
+    # band self-join + separate size aggregation; the simhash UDF now
+    # has exactly one consumer, so both checkpoints are gone. array_sort
+    # on struct arrays orders by the first field (doc_id), so pairs come
+    # out canonical (left < right) exactly as the old join's predicate.
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+    )
+    grouped = bandkeys.groupBy("band").agg(members.alias("_ms"))
+    combos = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("left_id"),
+                    y["doc_id"].alias("right_id"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
         )
+    )
+    return (
+        grouped.where(F.size("_ms") <= F.lit(int(max_band_size)))
+        .select(F.explode(combos).alias("_p"))
+        .select("_p.left_id", "_p.right_id", "_p.hamming")
+        .where(F.col("left_id") < F.col("right_id"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -196,7 +213,14 @@ def ngram_jaccard_pairs(
     (e.g. from LSH) it verifies candidates; without, it brute-forces
     the cross join — only for small doc sets / oracle parity.
     Returns (left_id, right_id, jaccard)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # r6: tokenize into a NAMED projection first. Written inline, the
+    # split(lower(trim(text))) expression is re-evaluated by Catalyst
+    # at every reference — size(), the sequence bound, and 3x
+    # try_element_at PER GRAM element — i.e. O(grams * n) regex splits
+    # per doc (measured 7.7s -> 0.35s for 5k docs). As a multi-
+    # referenced non-cheap alias, CollapseProject keeps it evaluated
+    # once.
+    toks = F.col("_toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -209,20 +233,30 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    g = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    ).select("doc_id", grams.alias("grams"))
     if candidate_pairs is not None:
+        # the candidate table is referenced twice below (id prune +
+        # pair join); materialise it ONCE up front. A lazy checkpoint
+        # is not enough: inside the FIRST job that computes the plan,
+        # every reference races to evaluate the (often expensive)
+        # candidate subtree concurrently — measured as the dominant
+        # cost of bench q4 before r6 (the LSH chain ran ~3x in one job)
+        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
         # only docs that appear in a candidate pair need gram arrays —
         # a semi-join prunes the (usually much larger) rest before the
-        # expensive tokenise/shingle projection runs
-        cand_ids = (
-            candidate_pairs.select(F.col("left_id").alias("doc_id"))
-            .unionAll(candidate_pairs.select(F.col("right_id").alias("doc_id")))
-            .dropDuplicates(["doc_id"])
-        )
+        # expensive tokenise/shingle projection runs. explode instead
+        # of a two-branch union: ONE reference to the candidate table
+        cand_ids = candidate_pairs.select(
+            F.explode(F.array("left_id", "right_id")).alias("doc_id")
+        ).dropDuplicates(["doc_id"])
         g = g.join(cand_ids, "doc_id", "left_semi")
-    # consumed by both join sides: checkpoint so the gram arrays are
-    # derived once per doc, not once per side
-    g = g.localCheckpoint(eager=False)
+    # consumed by both join sides: EAGER checkpoint so the gram arrays
+    # are derived once per doc, not once per join side racing within
+    # the first downstream job (same reasoning as above)
+    g = g.localCheckpoint(eager=True)
     if candidate_pairs is not None:
         pairs = (
             candidate_pairs.join(
