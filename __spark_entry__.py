@@ -456,7 +456,11 @@ def q_pair_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAIR_GRID_A,
         PAIR_GRID_B,
     )
-    assert stats is not None  # supplier graphs sit far below the gates
+    if stats is None:  # supplier graphs sit far below the gates
+        raise RuntimeError(
+            "pair_sweep_stats unexpectedly returned None (gate tripped) "
+            "for the supplier pair grid"
+        )
     out = metrics_from_stats(stats, keys=["key_ta", "key_tb"])
     return _round6(
         out.select(

@@ -74,11 +74,55 @@ class EntityFrame:
 
     def __init__(self) -> None:
         self.collections: dict[str, Collection] = {}
-        self.records: DataFrame | None = None
+        self._records: DataFrame | None = None
+        self._n_rec: int | None = None
+        self._records_distinct: DataFrame | None = None
         # pair-grid sweeps take the fused kernel route when the inputs
         # fit its gates (operators/pair_sweep.py); set False to force
         # the distributed membership-join plan (route-parity tests)
         self.fused_pair_sweep: bool = True
+        # single-expression analyse: grids whose |thresholds| x n_rec
+        # exceeds this take the O(m + |grid|) merge-delta route instead
+        # of materialising memberships (ADVICE r5: initialised here so
+        # the knob is discoverable and typos fail loudly)
+        self.single_sweep_max_cells: int = 50_000_000
+
+    @property
+    def records(self) -> DataFrame | None:
+        return self._records
+
+    @records.setter
+    def records(self, df: DataFrame | None) -> None:
+        # any change to the frame's record space invalidates the
+        # cached record count / distinct-id frame (r6: analyse calls
+        # reuse them instead of re-running a distinct+count job each —
+        # ADVICE r5 flagged the per-call eager count)
+        self._records = df
+        self._n_rec = None
+        self._records_distinct = None
+
+    def _distinct_record_ids(self) -> DataFrame:
+        """Deduplicated (record_id) frame, lazily checkpointed and
+        cached per record-space version: repeated analyse calls reuse
+        one materialisation of the distinct shuffle."""
+        if self._records_distinct is None:
+            self._records_distinct = (
+                self.records.select("record_id")
+                .dropDuplicates(["record_id"])
+                .localCheckpoint(eager=False)
+            )
+        return self._records_distinct
+
+    def _record_count(self, recs: DataFrame) -> int:
+        """Distinct record count; memoised when ``recs`` is the frame's
+        own record space (invalidated by the records setter)."""
+        if recs is self.records:
+            if self._n_rec is None:
+                self._n_rec = (
+                    self._distinct_record_ids().count()
+                )
+            return self._n_rec
+        return recs.select("record_id").distinct().count()
 
     # -- record ingestion (S6) ----------------------------------------------
 
@@ -426,7 +470,7 @@ class EntityFrame:
         # isolate semantics, identical to the membership route below).
         coll = self.collections[expr.name]
         recs = self.records if self.records is not None else coll.records
-        n_rec = recs.select("record_id").distinct().count()
+        n_rec = self._record_count(recs)
         max_cells = getattr(self, "single_sweep_max_cells", 50_000_000)
         if len(expr.thresholds) * n_rec > max_cells:
             from entityframe_spark.operators import hierarchy
@@ -494,7 +538,7 @@ class EntityFrame:
         from entityframe_spark.operators.pair_sweep import pair_sweep_stats
 
         return pair_sweep_stats(
-            self.records.select("record_id").dropDuplicates(["record_id"]),
+            self._distinct_record_ids(),
             self.collections[ea.name].merge_edges,
             self.collections[eb.name].merge_edges,
             [threshold_to_fp(t) for t in ea.thresholds],

@@ -152,3 +152,39 @@ def test_fused_no_merges_above_grid(spark):
         # degenerate-case behavior as the shuffle route)
         assert r["agreement"] == 1.0 and r["ari"] == 1.0 and r["nmi"] == 1.0
         assert r["f1"] == 0.0
+
+
+def test_side_cells_gate_bounds_label_matrix_memory(spark):
+    """r6 (ADVICE r5 medium): an asymmetric grid can pass the collect
+    and total-cells gates while |grid_b| x n alone would blow one
+    task's label-matrix allocation. The max_side_cells gate must send
+    such inputs back to the shuffle route (None)."""
+    from entityframe_spark.operators import pair_sweep
+
+    ef = _frame(spark, 1, 2)
+    recs = ef.records.select("record_id")
+    me_a = ef.collections["a"].merge_edges
+    me_b = ef.collections["b"].merge_edges
+    big_gb = list(range(1000, 1000 + 400))  # 400 t_b points
+    # passes default collect/total gates at this tiny n, but the
+    # b-side matrix (|gb| x n) exceeds the tightened side gate
+    assert (
+        pair_sweep.pair_sweep_stats(
+            recs, me_a, me_b, [500000], big_gb, max_side_cells=100
+        )
+        is None
+    )
+    # symmetric check on the a-side slice bound
+    assert (
+        pair_sweep.pair_sweep_stats(
+            recs, me_a, me_b, big_gb, [500000], max_side_cells=100
+        )
+        is None
+    )
+    # and with a permissive bound the same call goes fused
+    assert (
+        pair_sweep.pair_sweep_stats(
+            recs, me_a, me_b, [500000], [500000], max_side_cells=10**9
+        )
+        is not None
+    )
