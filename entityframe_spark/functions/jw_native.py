@@ -314,6 +314,49 @@ void score_batch(const int64_t* lgv, const int64_t* lgo,
         jw_out[r] = jw_one(s1, j1, s2, j2, prefix_weight);
     }
 }
+
+/* Gather variant: per-RECORD feature buffers (gram/token hash arrays,
+   prefix codepoints — offsets are n_rec+1) shared via broadcast; each
+   pair is (left_index, right_index) into them. The pair stream then
+   carries two int64s instead of ~KBs of duplicated per-pair arrays —
+   the guide-§8 move (decide with small rows; heavy bytes shipped once
+   per worker via the broadcast). Emits sizes too (the JVM cannot see
+   them without the arrays). */
+void score_batch_gather(
+    const int64_t* gvals, const int64_t* goff,
+    const int64_t* tvals, const int64_t* toff,
+    const uint32_t* pvals, const int64_t* poff,
+    const int64_t* li, const int64_t* ri, int64_t n_pairs,
+    double prefix_weight, int32_t lev_max_len, int32_t jw_max_len,
+    int32_t* gi_out, int32_t* gl_out, int32_t* gr_out,
+    int32_t* ti_out, int32_t* tl_out, int32_t* tr_out,
+    double* lev_out, double* jw_out)
+{
+    for (int64_t r = 0; r < n_pairs; r++) {
+        int64_t a = li[r], b = ri[r];
+        int64_t ng1 = goff[a + 1] - goff[a], ng2 = goff[b + 1] - goff[b];
+        int64_t nt1 = toff[a + 1] - toff[a], nt2 = toff[b + 1] - toff[b];
+        int64_t need = (ng1 + ng2 > nt1 + nt2 ? ng1 + ng2 : nt1 + nt2);
+        int64_t* scr = score_scratch;
+        int heap = need > 16384;
+        if (heap) scr = (int64_t*)malloc((size_t)need * 8);
+        gi_out[r] = (int32_t)isect_size(gvals + goff[a], ng1, gvals + goff[b], ng2, scr);
+        ti_out[r] = (int32_t)isect_size(tvals + toff[a], nt1, tvals + toff[b], nt2, scr);
+        if (heap) free(scr);
+        gl_out[r] = (int32_t)ng1; gr_out[r] = (int32_t)ng2;
+        tl_out[r] = (int32_t)nt1; tr_out[r] = (int32_t)nt2;
+        const uint32_t* s1 = pvals + poff[a];
+        const uint32_t* s2 = pvals + poff[b];
+        int l1 = (int)(poff[a + 1] - poff[a]);
+        int l2 = (int)(poff[b + 1] - poff[b]);
+        int v1 = l1 < lev_max_len ? l1 : lev_max_len;
+        int v2 = l2 < lev_max_len ? l2 : lev_max_len;
+        lev_out[r] = lev_one(s1, v1, s2, v2);
+        int j1 = l1 < jw_max_len ? l1 : jw_max_len;
+        int j2 = l2 < jw_max_len ? l2 : jw_max_len;
+        jw_out[r] = jw_one(s1, j1, s2, j2, prefix_weight);
+    }
+}
 """
 
 _lib = None
@@ -425,6 +468,15 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.score_batch.restype = None
+    _i32o = ctypes.POINTER(ctypes.c_int32)
+    lib.score_batch_gather.argtypes = [
+        _i64, _i64, _i64, _i64, _u32, _i64,
+        _i64, _i64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        _i32o, _i32o, _i32o, _i32o, _i32o, _i32o,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.score_batch_gather.restype = None
     return lib
 
 
@@ -653,3 +705,46 @@ def score_batch_native(
         _f64p(lev), _f64p(jw),
     )
     return gi, ti, lev, jw
+
+
+def score_batch_gather_native(
+    feat: tuple,
+    li: np.ndarray,
+    ri: np.ndarray,
+    lev_max_len: int = 256,
+    jw_max_len: int = 128,
+    prefix_weight: float = 0.1,
+):
+    """Gather-variant of score_batch: ``feat`` is the packed per-record
+    feature table (gvals, goff, tvals, toff, pvals, poff) — int64 hash
+    buffers + uint32 prefix codepoints with n_rec+1 offsets — and
+    li/ri are per-pair RECORD INDICES into it. Returns
+    (gi, gl, gr, ti, tl, tr, lev, jw)."""
+    tune_allocator()
+    if not native_available():
+        raise RuntimeError(
+            "native scoring kernel unavailable on this worker (no C "
+            "compiler?); use the pure-Python scoring fallback"
+        )
+    gvals, goff, tvals, toff, pvals, poff = feat
+    n = len(li)
+    li = np.ascontiguousarray(li, dtype=np.int64)
+    ri = np.ascontiguousarray(ri, dtype=np.int64)
+    out_i = [np.zeros(n, dtype=np.int32) for _ in range(6)]
+    lev = np.zeros(n, dtype=np.float64)
+    jw = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return (*out_i, lev, jw)
+    ptrs = [
+        ctypes.cast(a.ctypes.data, ctypes.POINTER(ctypes.c_int32)) for a in out_i
+    ]
+    gi, gl, gr, ti, tl, tr = out_i
+    _lib.score_batch_gather(
+        _i64p(gvals), _i64p(goff), _i64p(tvals), _i64p(toff),
+        _u32p(pvals), _i64p(poff),
+        _i64p(li), _i64p(ri), n,
+        float(prefix_weight), int(lev_max_len), int(jw_max_len),
+        ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+        _f64p(lev), _f64p(jw),
+    )
+    return gi, gl, gr, ti, tl, tr, lev, jw

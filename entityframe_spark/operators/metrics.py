@@ -89,9 +89,15 @@ def metrics_from_cells(cells: DataFrame, keys: list[str] | None = None) -> DataF
     # cells fan out into four aggregation branches (cell sums, row/col
     # marginals, totals) that get self-joined; localCheckpoint cuts the
     # upstream lineage so Catalyst analyses a tiny plan instead of four
-    # copies of the whole pipeline (measured minutes of planning time)
-    cells = cells.localCheckpoint(eager=False)
-    enriched = _cells_with_marginals(cells, keys).localCheckpoint(eager=False)
+    # copies of the whole pipeline (measured minutes of planning time).
+    # EAGER (r6): with a lazy checkpoint, the first job to touch the
+    # plan evaluates the (often expensive — full hierarchy build +
+    # membership reconstruction) upstream subtree once per branch
+    # CONCURRENTLY, because the not-yet-materialised blocks race; the
+    # cells frame is sweep-output-sized, so materialising it now is
+    # cheap at any scale and every branch then reads blocks.
+    cells = cells.localCheckpoint(eager=True)
+    enriched = _cells_with_marginals(cells, keys).localCheckpoint(eager=True)
     nd = F.col("n").cast("double")
     Nd = F.col("n_tot").cast("double")
     ai = F.col("a_i").cast("double")

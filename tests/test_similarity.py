@@ -338,3 +338,57 @@ def test_score_batch_native_matches_jvm_feature_path(spark):
     for k in new:
         for c in cols:
             assert new[k][c] == old[k][c], (k, c, new[k][c], old[k][c])
+
+
+def test_gather_route_matches_join_route(spark):
+    """r6: attach_pair_texts' gather route (python-broadcast feature
+    table + narrow pair stream) must score identically to the wide
+    broadcast-join route, and drop pairs whose ids lack features (the
+    join route's inner-join semantics)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from entityframe_spark.functions import jw_native
+    from entityframe_spark.pipeline.scoring import (
+        attach_pair_texts,
+        prepare_record_features,
+        score_pairs,
+    )
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+    feats = prepare_record_features(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma"),
+             (3, "unrelated words entirely"), (4, "")],
+            "record_id long, full_text string",
+        )
+    ).localCheckpoint(eager=True)
+    pairs = spark.createDataFrame(
+        [(1, 2, "k1"), (1, 3, "k1"), (2, 99, "k2"), (3, 4, "k3")],
+        "left_id long, right_id long, block_key string",
+    )
+    new = {
+        (r["left_id"], r["right_id"]): r
+        for r in score_pairs(
+            attach_pair_texts(pairs, feats, features_count=4)
+        ).collect()
+    }
+    old = {
+        (r["left_id"], r["right_id"]): r
+        for r in score_pairs(
+            # broadcast_threshold=0 forces the join route
+            attach_pair_texts(pairs, feats, broadcast_threshold=0)
+        ).collect()
+    }
+    assert set(new) == set(old)           # (2, 99) dropped on both routes
+    assert (2, 99) not in new
+    for k in new:
+        for c in ["bigram_containment", "bigram_jaccard", "token_jaccard",
+                  "levenshtein", "jaro_winkler", "weight"]:
+            assert new[k][c] == old[k][c], (k, c)
+    # transforming between attach and score loses the handle -> loud error
+    attached = attach_pair_texts(pairs, feats, features_count=4)
+    with pytest.raises(ValueError, match="UNMODIFIED"):
+        score_pairs(attached.localCheckpoint(eager=False))
