@@ -379,7 +379,12 @@ class Collection:
         sizes = mem.groupBy("threshold_fp", "cluster_id").agg(
             F.count(F.lit(1)).alias("sz")
         )
-        totals = mem.groupBy("threshold_fp").agg(F.count(F.lit(1)).alias("N"))
+        # totals derived FROM sizes (sum of cluster sizes == row count):
+        # aggregating mem twice on different keys evaluated the whole
+        # membership-reconstruction subtree twice in one job; this way
+        # the shared subtree ends in one identical exchange that Spark
+        # reuses (r6, guide §2.4)
+        totals = sizes.groupBy("threshold_fp").agg(F.sum("sz").alias("N"))
         return (
             sizes.join(totals, "threshold_fp")
             .groupBy("threshold_fp")

@@ -497,7 +497,9 @@ class EntityFrame:
             ).orderBy(f"{expr.name}_threshold")
         mem = self._grid_memberships(expr, "a")
         sizes = mem.groupBy("t_a", "cluster_a").agg(F.count(F.lit(1)).alias("sz"))
-        totals = mem.groupBy("t_a").agg(F.count(F.lit(1)).alias("N"))
+        # derived from sizes, not mem: one evaluation of the membership
+        # subtree + a reused exchange (see Collection.sweep, r6)
+        totals = sizes.groupBy("t_a").agg(F.sum("sz").alias("N"))
         out = (
             sizes.join(totals, "t_a")
             .groupBy("t_a")

@@ -106,15 +106,74 @@ def doc_fingerprint(text: Column, mod: int = 1_000_003) -> Column:
 
 
 def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per doc with the full analysis column set."""
+    """One row per doc with the full analysis column set.
+
+    r6 (guide §1.2 per-task work): the standalone helpers each embed
+    their own split/regexp over the text, so composing them in one
+    select re-ran the whitespace split ~8x and the punct regex 2x per
+    row (Catalyst re-evaluates inline expression trees at every
+    reference). The shared subexpressions are projected ONCE here
+    under names — a multi-referenced non-cheap alias is kept by
+    CollapseProject — and every output is the same expression over the
+    named columns, so values are identical (pinned by the text_profile
+    oracle, which recomputes everything from scratch in SQL). The
+    helpers above stay as the single-metric public API."""
     t = F.col(text_col)
-    return docs.select(
+    pre = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count(t).cast("long").alias("n_tokens"),
-        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("pred_lang"),
-        doc_fingerprint(t).alias("fingerprint"),
+        t.alias("_t"),
+        F.split(F.trim(t), r"\s+").alias("_wtoks"),
+        F.split(F.lower(F.trim(t)), r"\s+").alias("_ltoks"),
+        F.regexp_replace(t, r"[a-zA-Z0-9 ]", "").alias("_stripped"),
+    )
+    tt = F.col("_t")
+    wtoks = F.col("_wtoks")
+    ltoks = F.col("_ltoks")
+    n_tok = F.size(wtoks)
+    p_ratio = F.when(
+        F.length(tt) > 0, F.length(F.col("_stripped")) / F.length(tt)
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(ltoks, lambda x: F.array_contains(sw, x)))
+    mean_wl = F.when(
+        n_tok > 0, F.length(F.regexp_replace(tt, r"\s+", "")) / n_tok
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_ok = F.when(p_ratio < 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(ltoks, lambda x: F.array_contains(arr, x))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    codes = F.transform(
+        ltoks, lambda x: (F.length(x) * F.lit(131) + F.ascii(x)).cast("long")
+    )
+    fingerprint = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(1_000_003),
+    )
+    return pre.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        bpe_ish_token_count(tt).cast("long").alias("n_bpe_tokens"),
+        F.round(p_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.when(F.size(ltoks) > 0, n_sw / F.size(ltoks)).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round((len_ok + punct_ok + wl_ok) / F.lit(3.0), 6).alias("quality"),
+        F.when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        fingerprint.alias("fingerprint"),
     )
