@@ -788,8 +788,19 @@ def memberships_for_grid(
     out_schema = "threshold_fp long, record_id long, cluster_id long"
     _null = F.lit(None).cast("long")
 
-    n_me = merge_edges.count()
-    n_rec = rec0.count()
+    # both routing probes in ONE job (r6): a tagged union partial-
+    # aggregates map-side, so this is two tiny concurrent scans
+    # instead of two sequential count jobs
+    _cnt = {
+        int(r["_side"]): int(r["n"])
+        for r in rec0.select(F.lit(0).alias("_side"))
+        .unionAll(merge_edges.select(F.lit(1).alias("_side")))
+        .groupBy("_side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_rec = _cnt.get(0, 0)
+    n_me = _cnt.get(1, 0)
     if local_threshold:
         if n_me <= local_threshold and n_rec * max(len(grid), 1) <= max_local_cells:
             # fused: whole dendrogram + record space through one task

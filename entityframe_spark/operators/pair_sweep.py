@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from entityframe_spark.functions import uf_native
 
@@ -146,9 +147,20 @@ def pair_sweep_stats(
     grid passing the older gates could allocate ~16 GB per task) and
     ceil(|grid_a| / n_parts) x n for each task's a-side slice."""
     spark = records.sparkSession
-    n = records.count()
-    ma = me_a.count()
-    mb = me_b.count()
+    # all three gate probes in ONE job (r6): tagged union, map-side
+    # partial aggregation — was three sequential count jobs
+    _cnt = {
+        int(r["_side"]): int(r["n"])
+        for r in records.select(F.lit(0).alias("_side"))
+        .unionAll(me_a.select(F.lit(1).alias("_side")))
+        .unionAll(me_b.select(F.lit(2).alias("_side")))
+        .groupBy("_side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = _cnt.get(0, 0)
+    ma = _cnt.get(1, 0)
+    mb = _cnt.get(2, 0)
     ga = sorted({int(t) for t in fps_a}, reverse=True)
     gb = sorted({int(t) for t in fps_b}, reverse=True)
     if n == 0 or not ga or not gb:
