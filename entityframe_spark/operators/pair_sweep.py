@@ -199,10 +199,9 @@ def pair_sweep_stats(
     bc = spark.sparkContext.broadcast((nodes, ea, eb, grid_a, grid_b))
     # release the previous call's broadcast now that a new one
     # supersedes it (ADVICE r5: repeated sweeps on a long-lived session
-    # accumulated broadcast memory; keeping exactly one outstanding
-    # handle bounds it — only unsafe if a caller still holds an
-    # UNEXECUTED stats frame from a previous call while issuing a new
-    # one, which no shipped caller does)
+    # accumulated broadcast memory). unpersist — not destroy — so an
+    # older, not-yet-executed stats frame still works: executors
+    # re-fetch released blocks from the driver on demand (verified)
     while _prev_broadcast:
         try:
             _prev_broadcast.pop().unpersist(blocking=False)
