@@ -39,6 +39,107 @@ _C_SOURCE = r"""
    matching with availability flags; transpositions = mismatched
    aligned matched chars / 2; Winkler boost (prefix <= 4) iff
    jaro > 0.7. */
+/* Bit-parallel variant of the greedy Jaro matching (r6): for each
+   pattern char, candidates = Peq2[c] & window-mask & avail, and the
+   LOWEST SET BIT is exactly the lowest available matching j in the
+   window — i.e. the identical greedy choice the scalar loop makes,
+   at ~word granularity instead of per-char scanning. Used for
+   strings <= 512 codepoints (W <= 8 words); longer inputs take the
+   scalar path below. Static scratch: single-threaded per worker
+   process, same contract as the Myers kernel. */
+static uint32_t jw_keys[1024];
+static uint64_t jw_peq[1024 * 8];
+
+static double jw_one_bp(const uint32_t* s1, int l1, const uint32_t* s2,
+                        int l2, double prefix_weight)
+{
+    int W = (l2 + 63) >> 6;
+    int W1 = (l1 + 63) >> 6;
+    int window = (l1 > l2 ? l1 : l2) / 2 - 1;
+    if (window < 0) window = 0;
+    int tbits = 3;
+    while ((1 << tbits) < 2 * l2) tbits++;
+    int tmask = (1 << tbits) - 1;
+    memset(jw_keys, 0xFF, ((size_t)tmask + 1) * sizeof(uint32_t));
+    for (int j = 0; j < l2; j++) {
+        uint32_t c = s2[j];
+        uint32_t h = (c * 2654435761u) >> (32 - tbits);
+        for (;;) {
+            if (jw_keys[h] == 0xFFFFFFFFu) {
+                jw_keys[h] = c;
+                memset(jw_peq + (size_t)h * W, 0, (size_t)W * 8);
+                break;
+            }
+            if (jw_keys[h] == c) break;
+            h = (h + 1) & tmask;
+        }
+        jw_peq[(size_t)h * W + (j >> 6)] |= 1ull << (j & 63);
+    }
+    uint64_t avail[8], flags1b[8];
+    for (int b = 0; b < W; b++) avail[b] = ~0ull;
+    if (l2 & 63) avail[W - 1] = (1ull << (l2 & 63)) - 1;
+    memset(flags1b, 0, sizeof flags1b);
+    int matches = 0;
+    for (int i = 0; i < l1; i++) {
+        int lo = i - window; if (lo < 0) lo = 0;
+        int hi = i + window + 1; if (hi > l2) hi = l2;
+        if (lo >= hi) continue;
+        uint32_t c = s1[i];
+        uint32_t h = (c * 2654435761u) >> (32 - tbits);
+        const uint64_t* pe = 0;
+        for (;;) {
+            if (jw_keys[h] == 0xFFFFFFFFu) break;
+            if (jw_keys[h] == c) { pe = jw_peq + (size_t)h * W; break; }
+            h = (h + 1) & tmask;
+        }
+        if (!pe) continue;
+        int blo = lo >> 6, bhi = (hi - 1) >> 6;
+        for (int b = blo; b <= bhi; b++) {
+            uint64_t m = pe[b] & avail[b];
+            if (b == blo) m &= ~0ull << (lo & 63);
+            if (b == bhi && (hi & 63)) m &= (1ull << (hi & 63)) - 1;
+            if (m) {
+                int jbit = __builtin_ctzll(m);
+                avail[b] &= ~(1ull << jbit);
+                flags1b[i >> 6] |= 1ull << (i & 63);
+                matches++;
+                break;
+            }
+        }
+    }
+    if (matches == 0) return 0.0;
+    uint64_t used[8];
+    for (int b = 0; b < W; b++) used[b] = ~avail[b];
+    if (l2 & 63) used[W - 1] &= (1ull << (l2 & 63)) - 1;
+    int trans2 = 0;
+    int bj = 0;
+    uint64_t wj = used[0];
+    for (int bi = 0; bi < W1; bi++) {
+        uint64_t wi = flags1b[bi];
+        while (wi) {
+            int i = (bi << 6) + __builtin_ctzll(wi);
+            wi &= wi - 1;
+            while (!wj) { bj++; wj = used[bj]; }
+            int j = (bj << 6) + __builtin_ctzll(wj);
+            wj &= wj - 1;
+            if (s1[i] != s2[j]) trans2++;
+        }
+    }
+    double t = trans2 / 2.0;
+    double m = (double)matches;
+    double jv = (m / l1 + m / l2 + (m - t) / m) / 3.0;
+    if (jv > 0.7) {
+        int pmax = l1 < l2 ? l1 : l2;
+        if (pmax > 4) pmax = 4;
+        int p = 0;
+        for (int i = 0; i < pmax; i++) {
+            if (s1[i] == s2[i]) p++; else break;
+        }
+        jv = jv + p * prefix_weight * (1.0 - jv);
+    }
+    return jv;
+}
+
 static double jw_one(const uint32_t* s1, int l1, const uint32_t* s2,
                      int l2, double prefix_weight)
 {
@@ -48,6 +149,7 @@ static double jw_one(const uint32_t* s1, int l1, const uint32_t* s2,
     if (l2 > 4096) l2 = 4096;
     if (l1 == l2 && memcmp(s1, s2, (size_t)l1 * 4) == 0) return 1.0;
     if (l1 == 0 || l2 == 0) return 0.0;
+    if (l1 <= 512 && l2 <= 512) return jw_one_bp(s1, l1, s2, l2, prefix_weight);
     int window = (l1 > l2 ? l1 : l2) / 2 - 1;
     if (window < 0) window = 0;
     memset(flags1, 0, (size_t)l1);

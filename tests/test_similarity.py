@@ -392,3 +392,59 @@ def test_gather_route_matches_join_route(spark):
     attached = attach_pair_texts(pairs, feats, features_count=4)
     with pytest.raises(ValueError, match="UNMODIFIED"):
         score_pairs(attached.localCheckpoint(eager=False))
+
+
+def test_bitparallel_jw_matches_scalar_reference():
+    """r6: the C Jaro-Winkler greedy matcher went bit-parallel for
+    strings <= 512 codepoints (lowest-set-bit = the scalar loop's
+    lowest-available-window-match, so the greedy choice is identical).
+    Pin it against the scalar reference across word boundaries,
+    transposition-heavy shuffles and small alphabets."""
+    import random
+
+    import pytest
+
+    from entityframe_spark.functions import jw_native
+    from entityframe_spark.functions.similarity import _jaro_winkler
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+    rng = random.Random(123)
+    alphas = ["ab", "abcdefgh", "".join(chr(0x100 + i) for i in range(20))]
+    cases = [
+        ("", ""), ("a", ""), ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("ab", "ba"), ("a" * 63 + "b", "b" + "a" * 63),
+        ("a" * 64, "a" * 63 + "b"), ("ab" * 64, "ba" * 64),
+    ]
+    for _ in range(500):
+        alpha = rng.choice(alphas)
+        la = rng.choice([0, 1, 3, 15, 63, 64, 65, 127, 128, 129, 256])
+        a = "".join(rng.choice(alpha) for _ in range(la))
+        if rng.random() < 0.5 and a:
+            b = list(a)
+            for _ in range(rng.randint(0, 8)):
+                if not b:
+                    break
+                i = rng.randrange(len(b))
+                op = rng.random()
+                if op < 0.3:
+                    b[i] = rng.choice(alpha)
+                elif op < 0.6 and len(b) > 1:
+                    j = rng.randrange(len(b))
+                    b[i], b[j] = b[j], b[i]
+                elif op < 0.8:
+                    del b[i]
+                else:
+                    b.insert(i, rng.choice(alpha))
+            b = "".join(b)
+        else:
+            b = "".join(
+                rng.choice(alpha)
+                for _ in range(rng.choice([0, 1, 15, 64, 128, 256]))
+            )
+        cases.append((a, b))
+    av = [c[0] for c in cases]
+    bv = [c[1] for c in cases]
+    jw = jw_native.jw_batch_native(av, bv, max_len=256)
+    for (a, b), got in zip(cases, jw):
+        assert abs(got - _jaro_winkler(a[:256], b[:256])) < 1e-12, (a[:40], b[:40])
