@@ -417,6 +417,86 @@ void score_batch(const int64_t* lgv, const int64_t* lgo,
     }
 }
 
+/* ---- MinHash/LSH band-hash kernel (r6): shingle -> crc32 ->
+   linear-permutation minima -> per-band crc32, per doc, bit-for-bit
+   the values of the Python loop it replaces (zlib CRC-32 over the
+   UTF-8 bytes of each codepoint shingle; int64 mul-mod against the
+   Mersenne prime; band hash over the signature slice's little-endian
+   int64 bytes). ---- */
+
+static uint32_t crc_table[256];
+static int crc_init_done = 0;
+
+static void crc_init(void)
+{
+    for (uint32_t n = 0; n < 256; n++) {
+        uint32_t c = n;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_table[n] = c;
+    }
+    crc_init_done = 1;
+}
+
+static int utf8_enc(uint32_t c, unsigned char* out)
+{
+    if (c < 0x80) { out[0] = (unsigned char)c; return 1; }
+    if (c < 0x800) {
+        out[0] = 0xC0 | (c >> 6); out[1] = 0x80 | (c & 0x3F); return 2;
+    }
+    if (c < 0x10000) {
+        out[0] = 0xE0 | (c >> 12); out[1] = 0x80 | ((c >> 6) & 0x3F);
+        out[2] = 0x80 | (c & 0x3F); return 3;
+    }
+    out[0] = 0xF0 | (c >> 18); out[1] = 0x80 | ((c >> 12) & 0x3F);
+    out[2] = 0x80 | ((c >> 6) & 0x3F); out[3] = 0x80 | (c & 0x3F); return 4;
+}
+
+/* txt: normalised docs as utf-32 codepoints, off: n_docs+1 offsets.
+   out: n_docs x bands uint32 band hashes. num_hashes <= 256. */
+void lsh_band_hashes(const uint32_t* txt, const int64_t* off,
+                     int64_t n_docs, int32_t k,
+                     const int64_t* A, const int64_t* B,
+                     int32_t num_hashes, int32_t bands, uint32_t* out)
+{
+    if (!crc_init_done) crc_init();
+    const int64_t p = 2147483647LL;  /* 2^31 - 1 */
+    int rows = num_hashes / bands;
+    int64_t sig[256];
+    for (int64_t d = 0; d < n_docs; d++) {
+        const uint32_t* s = txt + off[d];
+        int64_t n = off[d + 1] - off[d];
+        for (int h = 0; h < num_hashes; h++) sig[h] = 0x7FFFFFFFFFFFFFFFLL;
+        int64_t shlen = n <= k ? n : k;
+        int64_t n_sh = n <= k ? 1 : n - k + 1;
+        for (int64_t i = 0; i < n_sh; i++) {
+            unsigned char buf[4];
+            uint32_t crc = 0xFFFFFFFFu;
+            for (int64_t j = 0; j < shlen; j++) {
+                int bl = utf8_enc(s[i + j], buf);
+                for (int b2 = 0; b2 < bl; b2++)
+                    crc = crc_table[(crc ^ buf[b2]) & 0xFF] ^ (crc >> 8);
+            }
+            int64_t base = (int64_t)(crc ^ 0xFFFFFFFFu);
+            for (int h = 0; h < num_hashes; h++) {
+                int64_t v = (A[h] * base + B[h]) % p;
+                if (v < sig[h]) sig[h] = v;
+            }
+        }
+        for (int b = 0; b < bands; b++) {
+            uint32_t crc = 0xFFFFFFFFu;
+            for (int r = 0; r < rows; r++) {
+                uint64_t v = (uint64_t)sig[(size_t)b * rows + r];
+                for (int by = 0; by < 8; by++) {
+                    unsigned char byte = (unsigned char)((v >> (8 * by)) & 0xFF);
+                    crc = crc_table[(crc ^ byte) & 0xFF] ^ (crc >> 8);
+                }
+            }
+            out[d * bands + b] = crc ^ 0xFFFFFFFFu;
+        }
+    }
+}
+
 /* Gather variant: per-RECORD feature buffers (gram/token hash arrays,
    prefix codepoints — offsets are n_rec+1) shared via broadcast; each
    pair is (left_index, right_index) into them. The pair stream then
@@ -579,6 +659,12 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.score_batch_gather.restype = None
+    lib.lsh_band_hashes.argtypes = [
+        _u32, _i64, ctypes.c_int64, ctypes.c_int32,
+        _i64, _i64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.lsh_band_hashes.restype = None
     return lib
 
 
@@ -747,6 +833,40 @@ def lev_jw_batch_native(
         _f64p(lev), _f64p(jw),
     )
     return lev, jw
+
+
+def lsh_band_hashes_native(
+    txt: np.ndarray,
+    off: np.ndarray,
+    shingle_k: int,
+    A: np.ndarray,
+    B: np.ndarray,
+    num_hashes: int,
+    bands: int,
+) -> np.ndarray:
+    """Per-doc LSH band hashes from packed utf-32 docs (see
+    _pack_offsets) — bit-identical to the Python
+    shingle/crc32/minhash/band loop. Returns (n_docs, bands) uint32."""
+    tune_allocator()
+    if not native_available():
+        raise RuntimeError(
+            "native LSH kernel unavailable on this worker (no C compiler?)"
+        )
+    if num_hashes > 256:
+        raise ValueError("num_hashes must be <= 256 for the native kernel")
+    n_docs = len(off) - 1
+    out = np.zeros((n_docs, int(bands)), dtype=np.uint32)
+    if n_docs == 0:
+        return out
+    A = np.ascontiguousarray(A, dtype=np.int64)
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    _lib.lsh_band_hashes(
+        _u32p(txt), _i64p(np.ascontiguousarray(off, dtype=np.int64)),
+        n_docs, int(shingle_k), _i64p(A), _i64p(B),
+        int(num_hashes), int(bands),
+        ctypes.cast(out.ctypes.data, ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def _c64(vals: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

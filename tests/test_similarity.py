@@ -448,3 +448,54 @@ def test_bitparallel_jw_matches_scalar_reference():
     jw = jw_native.jw_batch_native(av, bv, max_len=256)
     for (a, b), got in zip(cases, jw):
         assert abs(got - _jaro_winkler(a[:256], b[:256])) < 1e-12, (a[:40], b[:40])
+
+
+def test_native_lsh_band_hashes_match_python_reference():
+    """r6: the shingle->crc32->minhash->band pipeline moved into the C
+    kernel; band keys must be bit-identical to the Python loop
+    (zlib CRC-32 over utf-8 shingle bytes, int64 mul-mod, band crc
+    over little-endian signature bytes) — including unicode, empty and
+    shorter-than-k texts."""
+    import random
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from entityframe_spark.functions import jw_native
+
+    if not jw_native.native_available():
+        pytest.skip("no C compiler on this host")
+    rng = random.Random(5)
+    vocab = "the quick brown fox käfer straße 中文字符 émoji".split()
+    texts = ["", "a", "abcde", "日本語のテキスト"]
+    for _ in range(200):
+        texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+    num_hashes, bands, k = 64, 8, 5
+    rows = num_hashes // bands
+    g = np.random.default_rng(42)
+    p = np.int64(2_147_483_647)
+    A = g.integers(1, p, size=num_hashes, dtype=np.int64)
+    B = g.integers(0, p, size=num_hashes, dtype=np.int64)
+    normed = [" ".join(t.lower().split()) for t in texts]
+    ref = []
+    for t in normed:
+        n = len(t)
+        sh = {t} if n <= k else {t[i:i + k] for i in range(n - k + 1)}
+        base = np.fromiter(
+            (zlib.crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh)
+        )
+        sig = ((A[:, None] * base[None, :] + B[:, None]) % p).min(axis=1)
+        ref.append(
+            [
+                f"b{b}:{zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())}"
+                for b in range(bands)
+            ]
+        )
+    arr, off = jw_native._pack_offsets(normed, 4096)
+    bh = jw_native.lsh_band_hashes_native(arr, off, k, A, B, num_hashes, bands)
+    got = [
+        [f"b{b}:{int(bh[d, b])}" for b in range(bands)]
+        for d in range(len(normed))
+    ]
+    assert got == ref
